@@ -1,0 +1,15 @@
+from duwamish_spark.algorithms.pagerank import pagerank, pagerank_step
+from duwamish_spark.algorithms.components import connected_components
+from duwamish_spark.algorithms.labelprop import label_propagation
+from duwamish_spark.algorithms.triangles import triangle_count, triangle_count_per_vertex
+from duwamish_spark.algorithms.sssp import shortest_paths
+
+__all__ = [
+    "pagerank",
+    "pagerank_step",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangle_count_per_vertex",
+    "shortest_paths",
+]

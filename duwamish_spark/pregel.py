@@ -1,0 +1,280 @@
+"""The BSP superstep driver — Spark-stage-granularity Pregel.
+
+Semantic contract carried over from the reference (NOT its implementation):
+
+- one *superstep* = generate messages from current vertex state ⋈ edges,
+  shuffle/combine them per destination, update state
+  (reference: model/Vertex.java:23-24 compute; Context.java:50-52
+  sendMessageTo; Partition.java:187-238 drive loop),
+- named global accumulators evaluated once per superstep
+  (reference: Duwamish.java:222-230, util/Accumulators.java:33-41) — here a
+  single aggregated *metrics row* per superstep,
+- a halt decision over those accumulators
+  (reference: model/HaltDecider.java:21-23, Duwamish.java:248-255),
+- double-buffered state rotation after the barrier
+  (reference: Partition.java:240-262) — here a checkpoint of the new
+  vertex-state table, which also truncates lineage and makes runs
+  *resumable mid-iteration*.
+
+Everything the reference hand-rolls for physical execution — external merge
+sort (util/MergeSorter.java), hash partitioning (util/HashPartitioner.java),
+sorted co-sequential merge join (Partition.java:196-234, 354-404), partial
+aggregation (Partition.java:281-314), spill — is delegated to Spark's
+shuffle, Tungsten sort, and Catalyst-planned joins. Parallelism is shuffle
+partitions / executors, not a thread pool (reference: Duwamish.java:97,153).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# message combining (the shuffle-by-dst + partial/final aggregation stage)
+# ---------------------------------------------------------------------------
+
+# algebraic combine kinds: (partial fn, merge fn). Spark's hash aggregate
+# already does map-side partial combine for all of these (the reference's
+# CombiningMultimap, Partition.java:281-314); the *salted* two-stage variant
+# below additionally splits a hot destination key across `salt` reducer-side
+# sub-keys — needed only for extreme hub skew in the final aggregation.
+_ALGEBRAIC: dict[str, tuple[Callable[..., Column], Callable[..., Column]]] = {
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "count": (F.count, F.sum),
+}
+
+
+def combine_messages(
+    messages: DataFrame,
+    aggs: list[tuple[str, str, str]],
+    key: str = "dst",
+    salt: int = 0,
+) -> DataFrame:
+    """``groupBy(key)`` combine of a message relation.
+
+    ``aggs``: list of ``(out_name, in_col, kind)`` with kind in
+    sum/min/max/count. With ``salt > 0`` runs the two-stage salted form:
+    ``groupBy(key, pmod(hash(rand-ish src), salt))`` partial → ``groupBy(key)``
+    final. Correctness is invariant to ``salt`` (tested).
+    """
+    if salt and salt > 1:
+        salt_col = F.pmod(F.hash(*[c for c in messages.columns if c != key]), F.lit(salt))
+        partial = messages.groupBy(F.col(key), salt_col.alias("_salt")).agg(
+            *[
+                _ALGEBRAIC[kind][0](in_col).alias(out)
+                for out, in_col, kind in aggs
+            ]
+        )
+        return partial.groupBy(key).agg(
+            *[
+                _ALGEBRAIC[kind][1](out).alias(out)
+                for out, _, kind in aggs
+            ]
+        )
+    return messages.groupBy(key).agg(
+        *[_ALGEBRAIC[kind][0](in_col).alias(out) for out, in_col, kind in aggs]
+    )
+
+
+# ---------------------------------------------------------------------------
+# the superstep loop
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PregelResult:
+    state: DataFrame
+    supersteps: int
+    metrics: list[dict] = field(default_factory=list)
+    halted: bool = False
+    run_id: str = ""
+
+    @property
+    def last(self) -> dict:
+        return self.metrics[-1] if self.metrics else {}
+
+
+class Pregel:
+    """Iterative superstep driver.
+
+    Parameters
+    ----------
+    step:
+        ``(state_df, superstep) -> new_state_df``. The returned frame must
+        keep the ``id`` column and all state columns; transient
+        metric-support columns must be prefixed ``_`` (dropped on finalize).
+    metrics_exprs:
+        named aggregate Columns evaluated over the new state each superstep
+        — the accumulator map (reference: Duwamish.java:63-67,136-138).
+        ``vertex_count`` is always added (reference: util/Accumulators.java:27-30).
+    halt:
+        ``(metrics_dict, superstep) -> bool`` — the HaltDecider
+        (reference: model/HaltDecider.java:21-23).
+    checkpoint_dir / run_id:
+        where reliable superstep checkpoints + the metrics/lineage log live.
+        When unset, every superstep uses ``localCheckpoint`` (fast path,
+        still truncates lineage, not resumable).
+    reliable_interval:
+        write a durable parquet checkpoint every k supersteps (local
+        checkpoints in between). 1 = every superstep durable.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        step: Callable[[DataFrame, int], DataFrame],
+        metrics_exprs: dict[str, Column],
+        halt: Callable[[dict, int], bool],
+        *,
+        checkpoint_dir: str | None = None,
+        run_id: str = "run",
+        reliable_interval: int = 10,
+        max_supersteps: int = 200,
+    ) -> None:
+        self.spark = spark
+        self.step = step
+        self.metrics_exprs = metrics_exprs
+        self.halt = halt
+        self.checkpoint_dir = checkpoint_dir
+        self.run_id = run_id
+        self.reliable_interval = max(1, reliable_interval)
+        self.max_supersteps = max_supersteps
+
+    # -- checkpoint layout -------------------------------------------------
+    def _root(self) -> str:
+        assert self.checkpoint_dir
+        return os.path.join(self.checkpoint_dir, self.run_id)
+
+    def _state_path(self, s: int) -> str:
+        return os.path.join(self._root(), f"superstep={s:05d}")
+
+    def _manifest_path(self, s: int) -> str:
+        return os.path.join(self._state_path(s), "_MANIFEST.json")
+
+    def latest_checkpoint(self) -> int | None:
+        """Max superstep with a complete manifest, or None."""
+        if not self.checkpoint_dir or not os.path.isdir(self._root()):
+            return None
+        best = None
+        for name in os.listdir(self._root()):
+            if name.startswith("superstep=") and os.path.exists(
+                os.path.join(self._root(), name, "_MANIFEST.json")
+            ):
+                s = int(name.split("=")[1])
+                best = s if best is None or s > best else best
+        return best
+
+    def _write_reliable(self, df: DataFrame, s: int) -> DataFrame:
+        path = self._state_path(s)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        return out
+
+    def _log_metrics(self, row: dict) -> None:
+        if self.checkpoint_dir:
+            os.makedirs(self._root(), exist_ok=True)
+            with open(os.path.join(self._root(), "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(row, default=str) + "\n")
+
+    # -- the loop ------------------------------------------------------------
+    def run(
+        self,
+        initial_state: DataFrame,
+        resume: bool = False,
+        start_metrics: list[dict] | None = None,
+    ) -> PregelResult:
+        metrics_hist: list[dict] = list(start_metrics or [])
+        start = 0
+        state = initial_state
+
+        if resume and self.checkpoint_dir:
+            latest = self.latest_checkpoint()
+            if latest is not None:
+                state = self.spark.read.parquet(self._state_path(latest))
+                with open(self._manifest_path(latest)) as f:
+                    manifest = json.load(f)
+                metrics_hist = manifest.get("metrics_history", [])
+                if manifest.get("halted"):
+                    final = state.select(
+                        *[c for c in state.columns if not c.startswith("_")]
+                    )
+                    return PregelResult(
+                        final, latest + 1, metrics_hist, True, self.run_id
+                    )
+                start = latest + 1
+
+        cached: list[DataFrame] = []
+        halted = False
+        s = start
+        for s in range(start, self.max_supersteps):
+            t0 = time.monotonic()
+            new_state = self.step(state, s)
+
+            durable = bool(self.checkpoint_dir) and (
+                (s + 1) % self.reliable_interval == 0 or s == self.max_supersteps - 1
+            )
+            if durable:
+                new_state = self._write_reliable(new_state, s)
+            else:
+                new_state = new_state.localCheckpoint(eager=True)
+                cached.append(new_state)
+
+            agg_row = (
+                new_state.agg(
+                    F.count(F.lit(1)).alias("vertex_count"),
+                    *[c.alias(n) for n, c in self.metrics_exprs.items()],
+                )
+                .collect()[0]
+                .asDict()
+            )
+            wall_ms = (time.monotonic() - t0) * 1000.0
+            row = {"superstep": s, "wall_ms": round(wall_ms, 3), **agg_row}
+            metrics_hist.append(row)
+            self._log_metrics(row)
+
+            halted = bool(self.halt(row, s))
+
+            if durable:
+                # per-partition lineage (reference analog: per-partition
+                # accumulation maps merged at the barrier, Duwamish.java:222-230)
+                part_counts = {
+                    str(r["pid"]): r["cnt"]
+                    for r in new_state.groupBy(
+                        F.spark_partition_id().alias("pid")
+                    )
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                }
+                manifest = {
+                    "run_id": self.run_id,
+                    "superstep": s,
+                    "halted": halted,
+                    "partition_vertex_counts": part_counts,
+                    "metrics_history": metrics_hist,
+                }
+                with open(self._manifest_path(s), "w") as f:
+                    json.dump(manifest, f, default=str)
+
+            # free local checkpoints older than 2 supersteps
+            while len(cached) > 2:
+                old = cached.pop(0)
+                try:
+                    old.rdd.unpersist(False)
+                except Exception:
+                    pass
+
+            state = new_state
+            if halted:
+                break
+
+        # drop transient metric columns
+        final = state.select(*[c for c in state.columns if not c.startswith("_")])
+        return PregelResult(final, s + 1, metrics_hist, halted, self.run_id)

@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+import pytest
+
+from conftest import edges_df, vertices_df
+from duwamish_spark.algorithms import connected_components
+from oracle import cc_oracle, rand_graph
+
+TWO_TRIANGLES = [
+    ("a", "b"), ("b", "c"), ("c", "a"),
+    ("d", "e"), ("e", "f"), ("f", "d"),
+]
+
+
+def _run(spark, ids, edges, **kw):
+    res = connected_components(spark, vertices_df(spark, ids), edges_df(spark, edges), **kw)
+    return {r["id"]: r["label"] for r in res.state.collect()}, res
+
+
+def test_two_triangles_exact(spark):
+    ids = list("abcdef")
+    labels, res = _run(spark, ids, TWO_TRIANGLES)
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "d"}
+    assert res.halted
+
+
+@pytest.mark.parametrize("v,maxdeg,seed", [(200, 2, 3), (400, 1, 4)])
+def test_random_vs_oracle_exact(spark, v, maxdeg, seed):
+    ids, edges = rand_graph(v, maxdeg, seed)
+    want = cc_oracle(ids, edges)
+    got, res = _run(spark, ids, edges)
+    assert got == want
+    assert res.halted
+
+
+def test_isolated_vertices_keep_own_label(spark):
+    ids = ["x", "y", "z"]
+    got, _ = _run(spark, ids, [("x", "y")])
+    assert got == {"x": "x", "y": "x", "z": "z"}
+
+
+def test_salted_equals_unsalted(spark):
+    ids, edges = rand_graph(150, 3, 6)
+    plain, _ = _run(spark, ids, edges)
+    salted, _ = _run(spark, ids, edges, salt=8)
+    assert plain == salted

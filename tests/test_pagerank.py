@@ -1,0 +1,77 @@
+"""PageRank: golden graphs (FIXTURES.md F4), oracle equivalence, salting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import edges_df, vertices_df
+from duwamish_spark.algorithms import pagerank
+from duwamish_spark.graph import vertices_from
+from oracle import pagerank_oracle, rand_graph
+
+
+def _run(spark, ids, edges, **kw):
+    res = pagerank(spark, vertices_df(spark, ids), edges_df(spark, edges), **kw)
+    return {r["id"]: r["rank"] for r in res.state.collect()}, res
+
+
+def test_cycle3_all_ones(spark):
+    # unnormalized update on a cycle: every rank stays exactly 1.0
+    ids = ["0", "1", "2"]
+    edges = [("0", "1"), ("1", "2"), ("2", "0")]
+    ranks, res = _run(spark, ids, edges, tol=1e-6)
+    assert ranks == {"0": 1.0, "1": 1.0, "2": 1.0}
+    assert res.halted and res.supersteps <= 2
+
+
+def test_dangling_pair(spark):
+    # dangling mass dropped: rank(0)=0.15, rank(1)=0.15+0.85*0.15 at fixpoint
+    ids = ["0", "1"]
+    edges = [("0", "1")]
+    ranks, res = _run(spark, ids, edges, tol=1e-9)
+    assert ranks["0"] == pytest.approx(0.15, abs=1e-9)
+    assert ranks["1"] == pytest.approx(0.15 + 0.85 * 0.15, abs=1e-9)
+    oracle, _ = pagerank_oracle(ids, edges, tol=1e-9)
+    for v in ids:
+        assert ranks[v] == pytest.approx(oracle[v], abs=1e-9)
+
+
+def test_dup_selfloop_multiplicity(spark):
+    # duplicate edge => duplicate message; self-loop delivers to self
+    ids = ["0", "1"]
+    edges = [("0", "1"), ("0", "1"), ("1", "1")]
+    oracle, steps = pagerank_oracle(ids, edges, fixed_supersteps=5)
+    ranks, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=5)
+    for v in ids:
+        assert ranks[v] == pytest.approx(oracle[v], abs=1e-9)
+
+
+@pytest.mark.parametrize("v,maxdeg,seed", [(200, 6, 1), (500, 15, 2)])
+def test_random_graph_vs_oracle(spark, v, maxdeg, seed):
+    ids, edges = rand_graph(v, maxdeg, seed)
+    oracle, _ = pagerank_oracle(ids, edges, fixed_supersteps=20)
+    ranks, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=20)
+    got = np.array([ranks[i] for i in ids])
+    want = np.array([oracle[i] for i in ids])
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_salted_equals_unsalted(spark):
+    ids, edges = rand_graph(150, 10, 5)
+    plain, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=8)
+    salted, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=8, salt=8)
+    for v in ids:
+        assert salted[v] == pytest.approx(plain[v], abs=1e-9)
+
+
+def test_convergence_to_l1_tolerance(spark):
+    ids, edges = rand_graph(60, 4, 11)
+    ranks, res = _run(spark, ids, edges, tol=1e-6)
+    oracle, osteps = pagerank_oracle(ids, edges, tol=1e-6)
+    assert res.halted
+    assert res.supersteps == osteps
+    got = np.array([ranks[i] for i in ids])
+    want = np.array([oracle[i] for i in ids])
+    assert np.allclose(got, want, atol=1e-6)
+    assert res.last["residual"] < 1e-6

@@ -1,0 +1,76 @@
+"""Pregel kernel: checkpointing, resume-mid-run equivalence, metrics/lineage.
+
+The resume test is SURVEY.md §5.5: kill after superstep k, restart from the
+checkpoint, final state identical to the uninterrupted run (the reference's
+double-buffered vertex-file rotation made the same thing possible on one
+machine; reference: Partition.java:240-262).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from conftest import edges_df, vertices_df
+from duwamish_spark.algorithms import pagerank
+from oracle import rand_graph
+
+
+@pytest.fixture()
+def graph(spark):
+    ids, edges = rand_graph(120, 5, 21)
+    return vertices_df(spark, ids), edges_df(spark, edges)
+
+
+def test_resume_equals_uninterrupted(spark, graph, tmp_path):
+    v, e = graph
+    full = pagerank(spark, v, e, tol=0.0, max_supersteps=12)
+    want = {r["id"]: r["rank"] for r in full.state.collect()}
+
+    ck = str(tmp_path / "ck")
+    # "crash" after 6 supersteps (reliable checkpoint every 3)
+    pagerank(spark, v, e, tol=0.0, max_supersteps=6,
+             checkpoint_dir=ck, run_id="r1", reliable_interval=3)
+    resumed = pagerank(spark, v, e, tol=0.0, max_supersteps=12,
+                       checkpoint_dir=ck, run_id="r1", reliable_interval=3,
+                       resume=True)
+    got = {r["id"]: r["rank"] for r in resumed.state.collect()}
+    assert resumed.supersteps == 12
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_checkpoint_layout_and_metrics_log(spark, graph, tmp_path):
+    v, e = graph
+    ck = str(tmp_path / "ck")
+    res = pagerank(spark, v, e, tol=0.0, max_supersteps=4,
+                   checkpoint_dir=ck, run_id="r2", reliable_interval=2)
+    root = os.path.join(ck, "r2")
+    manifests = sorted(p for p in os.listdir(root) if p.startswith("superstep="))
+    assert "superstep=00001" in manifests and "superstep=00003" in manifests
+    with open(os.path.join(root, "superstep=00003", "_MANIFEST.json")) as f:
+        man = json.load(f)
+    assert man["superstep"] == 3
+    assert sum(man["partition_vertex_counts"].values()) == 120
+    with open(os.path.join(root, "metrics.jsonl")) as f:
+        lines = [json.loads(line) for line in f]
+    assert [r["superstep"] for r in lines] == [0, 1, 2, 3]
+    assert all("residual" in r and "wall_ms" in r and r["vertex_count"] == 120 for r in lines)
+    assert len(res.metrics) == 4
+
+
+def test_resume_skips_completed_run(spark, graph, tmp_path):
+    v, e = graph
+    ck = str(tmp_path / "ck")
+    done = pagerank(spark, v, e, tol=1e-3, max_supersteps=50,
+                    checkpoint_dir=ck, run_id="r3", reliable_interval=1)
+    assert done.halted
+    again = pagerank(spark, v, e, tol=1e-3, max_supersteps=50,
+                     checkpoint_dir=ck, run_id="r3", reliable_interval=1,
+                     resume=True)
+    assert again.halted
+    a = {r["id"]: r["rank"] for r in done.state.collect()}
+    b = {r["id"]: r["rank"] for r in again.state.collect()}
+    assert a == b
