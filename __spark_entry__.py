@@ -1,38 +1,369 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Graph queries run over a deterministic edge table derived from the
+driver-provided ``lineitem`` parquet (src = l_orderkey % M, dst =
+l_partkey % M) so the exact same relation is expressible in DuckDB SQL.
+Iterative queries (pagerank_fixed10, cc_converged, lp_round1) execute the
+REAL Pregel engine (duwamish_spark.pregel) and are checked against chained
+CTEs / recursive-CTE oracles. Pipeline operators (dedup, text analysis,
+similarity) run over ``documents`` / ``embeddings``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+MOD = 599  # graph size for the derived lineitem graph
+
+_EDGE_CTE = f"e AS (SELECT l_orderkey % {MOD} AS src, l_partkey % {MOD} AS dst FROM lineitem)"
+_VERT_CTE = "v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst AS id FROM e)"
+_SYM_CTE = (
+    "sym AS (SELECT src, dst FROM e WHERE src <> dst "
+    "UNION SELECT dst AS src, src AS dst FROM e WHERE src <> dst)"
+)
+_DEG_CTE = (
+    "deg AS (SELECT v.id AS id, count(e.src) AS d FROM v "
+    "LEFT JOIN e ON e.src = v.id GROUP BY v.id)"
+)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.select(
+        (F.col("l_orderkey") % MOD).alias("src"), (F.col("l_partkey") % MOD).alias("dst")
+    )
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    from duwamish_spark.graph import vertices_from
+
+    e = _edges(spark, sf_dir)
+    return vertices_from(None, e), e
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+
+def q_out_degree(spark, sf_dir):
+    from duwamish_spark.graph import out_degrees
+
+    v, e = _graph(spark, sf_dir)
+    return out_degrees(v, e)
+
+
+def q_pagerank_step1(spark, sf_dir):
+    from duwamish_spark.graph import out_degrees
+
+    v, e = _graph(spark, sf_dir)
+    deg = out_degrees(v, e).withColumnRenamed("id", "src")
+    contrib = e.join(deg, "src").select("dst", (F.lit(1.0) / F.col("out_degree")).alias("c"))
+    sums = contrib.groupBy(F.col("dst").alias("id")).agg(F.sum("c").alias("s"))
+    return v.join(sums, "id", "left").select(
+        "id",
+        F.round(F.lit(0.15) + F.lit(0.85) * F.coalesce("s", F.lit(0.0)), 6).alias("rank"),
+    )
+
+
+def q_pagerank_fixed10(spark, sf_dir):
+    from duwamish_spark.algorithms import pagerank
+
+    v, e = _graph(spark, sf_dir)
+    res = pagerank(spark, v, e, tol=0.0, max_supersteps=10)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_converged(spark, sf_dir):
+    # full convergence — no closed-form SQL oracle; pytest's NumPy oracle
+    # covers the semantics, driver records a rows-only check
+    from duwamish_spark.algorithms import pagerank
+
+    v, e = _graph(spark, sf_dir)
+    res = pagerank(spark, v, e, tol=1e-6, max_supersteps=200)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_cc_round1(spark, sf_dir):
+    from duwamish_spark.graph import symmetrize
+
+    v, e = _graph(spark, sf_dir)
+    sym = symmetrize(e)
+    mins = sym.groupBy(F.col("dst").alias("id")).agg(F.min("src").alias("mn"))
+    return v.join(mins, "id", "left").select(
+        "id", F.least("id", F.coalesce("mn", "id")).alias("label")
+    )
+
+
+def q_cc_converged(spark, sf_dir):
+    from duwamish_spark.algorithms import connected_components
+
+    v, e = _graph(spark, sf_dir)
+    return connected_components(spark, v, e).state
+
+
+def q_lp_round1(spark, sf_dir):
+    from duwamish_spark.algorithms import label_propagation
+
+    v, e = _graph(spark, sf_dir)
+    return label_propagation(spark, v, e, max_supersteps=1).state
+
+
+def q_triangle_count(spark, sf_dir):
+    from duwamish_spark.algorithms.triangles import _wedges
+    from duwamish_spark.graph import canonical_edges
+
+    _, e = _graph(spark, sf_dir)
+    c = canonical_edges(e)
+    closing = c.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return _wedges(c).join(closing, ["a", "c"]).agg(F.count(F.lit(1)).alias("triangles"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from duwamish_spark.functions import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    from duwamish_spark.functions import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_stopword_ratio(spark, sf_dir):
+    from duwamish_spark.functions import stopword_ratio
+
+    return stopword_ratio(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from duwamish_spark.functions import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+LANG_MARKERS = {
+    "en": ("the", "a"),
+    "de": ("der", "die"),
+    "es": ("el", "los"),
+    "fr": ("le", "la"),
+    "zh": ("zhong", "wen"),
+}
+
+
+def q_lang_pred(spark, sf_dir):
+    from duwamish_spark.functions import lang_marker_scores
+
+    return lang_marker_scores(_docs(spark, sf_dir), LANG_MARKERS)
+
+
+def q_embedding_centroids(spark, sf_dir):
+    from duwamish_spark.functions import label_centroids
+
+    out = label_centroids(_emb(spark, sf_dir))
+    return out.select("label", F.col("pos").cast("long").alias("pos"), "v")
+
+
+def q_knn_cosine(spark, sf_dir):
+    from duwamish_spark.functions import knn_cosine
+
+    out = knn_cosine(_emb(spark, sf_dir), k=3)
+    return out.select(
+        "vec_id", "neighbor_id", F.col("knn_rank").cast("long").alias("knn_rank"), "cos_sim"
+    )
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    # engine-only (deterministic but hash functions differ from DuckDB's):
+    # rows-only check; semantics tested against a Python oracle in pytest
+    from duwamish_spark.functions import minhash_near_dups
+
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PageRank (engine Pregel loop) on the sf0.001 graph."""
+    from duwamish_spark.algorithms import pagerank
+    from duwamish_spark.graph import vertices_from
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    e = li.select(
+        (F.col("l_orderkey") % 199).alias("src"), (F.col("l_partkey") % 199).alias("dst")
+    )
+    v = vertices_from(None, e)
+    res = pagerank(spark, v, e, tol=1e-6, max_supersteps=30)
+    return res.state
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "graph_out_degree": q_out_degree,
+        "pagerank_step1": q_pagerank_step1,
+        "pagerank_fixed10": q_pagerank_fixed10,
+        "pagerank_converged": q_pagerank_converged,
+        "cc_round1": q_cc_round1,
+        "cc_converged": q_cc_converged,
+        "lp_round1": q_lp_round1,
+        "triangle_count": q_triangle_count,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "stopword_ratio": q_stopword_ratio,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_pred": q_lang_pred,
+        "embedding_centroids": q_embedding_centroids,
+        "knn_cosine": q_knn_cosine,
+        "minhash_near_dups": q_minhash_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _pagerank_chain_sql(steps: int) -> str:
+    ctes = [_EDGE_CTE, _VERT_CTE, _DEG_CTE, "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v)"]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"r{i} AS (SELECT v.id AS id, 0.15 + 0.85 * coalesce(s.s, 0) AS rank FROM v "
+            f"LEFT JOIN (SELECT e.dst AS id, sum(r.rank / deg.d) AS s FROM e "
+            f"JOIN deg ON deg.id = e.src JOIN r{i-1} r ON r.id = e.src GROUP BY e.dst) s "
+            f"ON s.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 6) AS rank FROM r{steps}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok_cte = (
+        "t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        "FROM documents WHERE length(trim(text)) > 0)"
+    )
+    lang_scores = ", ".join(
+        f"sum(CASE WHEN tok IN {tuple(m)} THEN 1 ELSE 0 END)::BIGINT AS score_{lang}"
+        for lang, m in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {' AND '.join(f'score_{lang} >= score_{o}' for o in langs if o != lang)} THEN '{lang}'"
+            for lang in langs
+        )
+        + " END"
+    )
+    return {
+        "graph_out_degree": f"""
+            WITH {_EDGE_CTE}, {_VERT_CTE}
+            SELECT v.id AS id, count(e.src) AS out_degree
+            FROM v LEFT JOIN e ON e.src = v.id GROUP BY v.id
+        """,
+        "pagerank_step1": f"""
+            WITH {_EDGE_CTE}, {_VERT_CTE}, {_DEG_CTE},
+            msg AS (SELECT e.dst AS id, 1.0 / deg.d AS c FROM e JOIN deg ON deg.id = e.src),
+            s AS (SELECT id, sum(c) AS s FROM msg GROUP BY id)
+            SELECT v.id AS id, round(0.15 + 0.85 * coalesce(s.s, 0), 6) AS rank
+            FROM v LEFT JOIN s ON s.id = v.id
+        """,
+        "pagerank_fixed10": _pagerank_chain_sql(10),
+        "cc_round1": f"""
+            WITH {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
+            mins AS (SELECT dst AS id, min(src) AS mn FROM sym GROUP BY dst)
+            SELECT v.id AS id, least(v.id, coalesce(m.mn, v.id)) AS label
+            FROM v LEFT JOIN mins m ON m.id = v.id
+        """,
+        "cc_converged": f"""
+            WITH RECURSIVE {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
+            reach(id, r) AS (
+                SELECT id, id FROM v
+                UNION
+                SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+            )
+            SELECT id, min(r) AS label FROM reach GROUP BY id
+        """,
+        "lp_round1": f"""
+            WITH {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
+            cnt AS (SELECT dst AS id, src AS m, count(*) AS c FROM sym GROUP BY dst, src),
+            pick AS (SELECT id, m, row_number() OVER (PARTITION BY id ORDER BY c DESC, m ASC) AS rn FROM cnt)
+            SELECT v.id AS id, coalesce(p.m, v.id) AS label
+            FROM v LEFT JOIN (SELECT id, m FROM pick WHERE rn = 1) p ON p.id = v.id
+        """,
+        "triangle_count": f"""
+            WITH {_EDGE_CTE},
+            c AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+                  FROM e WHERE src <> dst)
+            SELECT count(*) AS triangles
+            FROM c e1 JOIN c e2 ON e1.dst = e2.src
+            JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_stats": f"""
+            WITH {tok_cte}
+            SELECT doc_id, count(*) AS n_tokens, round(avg(length(tok)), 6) AS avg_token_len
+            FROM t GROUP BY doc_id
+        """,
+        "stopword_ratio": f"""
+            WITH {tok_cte}
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS stop_ratio
+            FROM t GROUP BY doc_id
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "lang_pred": f"""
+            WITH {tok_cte},
+            s AS (SELECT doc_id, {lang_scores} FROM t GROUP BY doc_id)
+            SELECT doc_id, {lang_case} AS pred_lang FROM s
+        """,
+        "embedding_centroids": """
+            SELECT label, i AS pos, round(avg(embedding[i + 1]::DOUBLE), 6) AS v
+            FROM embeddings, generate_series(0, 63) t(i)
+            GROUP BY label, i
+        """,
+        "knn_cosine": """
+            WITH pairs AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                       a.embedding AS va, b.embedding AS vb
+                FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+            flat AS (SELECT vec_id, neighbor_id,
+                            unnest(va)::DOUBLE AS x, unnest(vb)::DOUBLE AS y FROM pairs),
+            d AS (SELECT vec_id, neighbor_id, sum(x * y) AS dot,
+                         sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+                  FROM flat GROUP BY vec_id, neighbor_id),
+            ranked AS (SELECT vec_id, neighbor_id, dot / (na * nb) AS sim,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dot / (na * nb) DESC, neighbor_id ASC) AS knn_rank
+                       FROM d)
+            SELECT vec_id, neighbor_id, knn_rank, round(sim, 4) AS cos_sim
+            FROM ranked WHERE knn_rank <= 3
+        """,
+    }

@@ -1,0 +1,24 @@
+from duwamish_spark.functions.text import (
+    tokens_col,
+    token_stats,
+    stopword_ratio,
+    doc_fingerprint,
+    lang_marker_scores,
+)
+from duwamish_spark.functions.dedup import exact_dedup, minhash_signatures, minhash_near_dups, simhash64
+from duwamish_spark.functions.similarity import cosine_sim_col, knn_cosine, label_centroids
+
+__all__ = [
+    "tokens_col",
+    "token_stats",
+    "stopword_ratio",
+    "doc_fingerprint",
+    "lang_marker_scores",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_near_dups",
+    "simhash64",
+    "cosine_sim_col",
+    "knn_cosine",
+    "label_centroids",
+]

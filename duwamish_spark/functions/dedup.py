@@ -1,0 +1,166 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+All JVM-side column expressions (xxhash64 / md5 / bit ops) — no Python in
+the hot path. The MinHash pipeline is the standard shingle → minhash →
+band → bucket-join shape: at 100 TB the candidate join is the only
+super-linear stage and it is keyed on (band_idx, band_hash), which
+shuffles only bucket collisions, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: keeps a*x + b within int64 under ANSI arithmetic
+# (a, x < 2^31 → product < 2^62). Constants are fixed so results are
+# deterministic across runs and cluster sizes.
+_P = (1 << 31) - 1
+
+
+def _perm_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _P, size=n_hashes, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, keep_id, n_dups) — hash-groupBy exact dedup; keep = min id."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def shingles(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh) — distinct xxhash64 of k-token shingles (word k-grams)."""
+    from duwamish_spark.functions.text import tokens_col
+
+    toks = docs.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("t"))
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+            )
+        ).alias("shingle"),
+    ).where(F.length("shingle") > 0)
+    return sh.select("id", F.xxhash64("shingle").alias("sh")).distinct()
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 32, seed: int = 7
+) -> DataFrame:
+    """(id, sig: array<bigint>) — per-doc minhash signature over shingle hashes.
+
+    h_i(x) = (a_i * x + b_i) mod (2^61-1); min per doc per i. Computed as
+    ``n_hashes`` aggregate columns in ONE groupBy — a single shuffle.
+    """
+    params = _perm_params(n_hashes, seed)
+    x = F.pmod(F.col("sh"), F.lit(_P))
+    mins = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — near-duplicate pairs with verified Jaccard ≥ threshold.
+
+    LSH banding proposes candidates (same band hash in any band); exact
+    Jaccard over shingle sets verifies. id_a < id_b.
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sh = shingles(docs, k, id_col, text_col).persist()
+    sig = minhash_signatures(sh, n_hashes, seed)
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over token xxhash64s.
+
+    Per bit: majority vote of token-hash bits, computed as 64 aggregate
+    columns in one groupBy (single shuffle, partial-agg friendly).
+    """
+    from duwamish_spark.functions.text import tokens_col
+
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    bit_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)" for i in range(64)
+    )
+    return agg.select("id", F.expr(bit_terms).alias("simhash"))

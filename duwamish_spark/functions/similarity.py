@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; an LSH-bucketed
+variant (random hyperplanes → band join) as the scale path — at 100 TB
+the all-pairs cross join is quadratic and must be replaced by bucketing.
+Everything is built-in higher-order functions (``zip_with`` /
+``aggregate``) — JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_cosine(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, neighbor_id, knn_rank, cos_sim) — brute-force top-k.
+
+    Deterministic ordering: similarity desc, then neighbor id asc.
+    O(n²) — correctness baseline; use :func:`lsh_buckets` beyond ~10^5 rows.
+    """
+    a = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "vec_id",
+        "neighbor_id",
+        cosine_sim_col(F.col("va"), F.col("vb")).alias("sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "knn_rank",
+            F.round("sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bucket) — random-hyperplane LSH signature (cosine-preserving).
+
+    Candidate generation for ANN: only same-bucket pairs are scored, so the
+    join is keyed and linear-ish in practice instead of all-pairs.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return emb.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def knn_cosine_lsh(
+    emb: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket pairs."""
+    buckets = lsh_buckets(emb, n_planes, seed, id_col, vec_col, dim)
+    e = emb.join(buckets.withColumnRenamed("id", id_col), id_col)
+    a = e.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("vec_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "vec_id", "neighbor_id", cosine_sim_col(F.col("va"), F.col("vb")).alias("sim")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .select("vec_id", "neighbor_id", "knn_rank", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+def label_centroids(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """(label, pos, v) — per-label centroid, flattened for stable comparison."""
+    ex = emb.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
+    return ex.groupBy(label_col, "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("v")
+    )

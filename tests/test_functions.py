@@ -1,0 +1,85 @@
+"""Pipeline operators: minhash/jaccard vs a Python oracle, simhash,
+LSH-ANN sanity. (The SQL-expressible operators are oracle-checked in
+test_entry_contract.py.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from duwamish_spark.functions import (
+    exact_dedup,
+    minhash_near_dups,
+    simhash64,
+    knn_cosine,
+)
+from duwamish_spark.functions.similarity import knn_cosine_lsh
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river shore"),  # near-dup of 1
+    (3, "completely different content about spark shuffles and partitions"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "spark shuffles move data between partitions during wide stages"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark):
+    out = {r["text_hash"]: (r["keep_id"], r["n_dups"]) for r in exact_dedup(_docs_df(spark)).collect()}
+    assert len(out) == 4  # docs 1 and 4 collapse
+    assert (1, 2) in out.values()
+
+
+def test_minhash_near_dups_vs_python_jaccard(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups(_docs_df(spark), threshold=0.2).collect()
+    }
+    # exact dup pair must be found with jaccard 1.0
+    assert got[(1, 4)] == pytest.approx(1.0)
+    # near-dup pair found with the exact shingle jaccard value
+    assert (1, 2) in got
+    assert got[(1, 2)] == pytest.approx(_py_jaccard(DOCS[0][1], DOCS[1][1]), abs=1e-9)
+    # verified jaccard is exact for every reported pair
+    texts = dict(DOCS)
+    for (a, b), j in got.items():
+        assert j == pytest.approx(_py_jaccard(texts[a], texts[b]), abs=1e-9)
+
+
+def test_simhash_identical_docs_equal(spark):
+    out = {r["id"]: r["simhash"] for r in simhash64(_docs_df(spark)).collect()}
+    assert out[1] == out[4]
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_knn_lsh_finds_exact_twin(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16)).astype("float32")
+    vecs[7] = vecs[3]  # exact twin
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {r["vec_id"]: r["neighbor_id"] for r in knn_cosine(emb, k=1).collect()}
+    assert exact[3] == 7 and exact[7] == 3
+    approx = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in knn_cosine_lsh(emb, k=1, n_planes=6, dim=16).collect()
+    }
+    assert approx.get(3) == 7 and approx.get(7) == 3
