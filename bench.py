@@ -1,0 +1,158 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: the north-rule metric — PageRank (damping 0.85) to L1-residual
+< 1e-6 convergence on the edge graph parsed from the source-code corpus,
+reporting supersteps/min and edges-processed/sec, plus CC / LP / triangles
+and two pipeline ops at the same scale.
+
+Corpus scale tracks the driver SF: n_files = SF * 1e6 with out-degree ~
+U{0..127} — at SF=0.1 that is 100k files / ~6.35M edges, the same graph
+shape and size as the reference's published 100k-vertex PageRank row
+(88.499 s for ≤200 supersteps; reference: notes/benchmarks.txt:11,
+example/PageRank.java:89,117).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     DUWAMISH_BENCH_FILES (override corpus size),
+     DUWAMISH_BENCH_DEG (override max out-degree, default 127).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def edges_parquet(spark, n_files: int, deg: int, seed: int = 42) -> tuple[str, float]:
+    """Parse the corpus into an edge table, cached; returns (path, parse_sec).
+
+    parse_sec = 0.0 when served from cache (the parse stage is timed on the
+    first materialization only).
+    """
+    from duwamish_spark.corpus import corpus_df
+    from duwamish_spark.parse import extract_edges
+
+    path = os.path.join(CACHE, f"edges_n{n_files}_d{deg}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path, 0.0
+    corpus = corpus_df(spark, n_files, deg, seed, cache_dir=CACHE)
+    t0 = time.monotonic()
+    extract_edges(corpus).write.mode("overwrite").parquet(path)
+    return path, time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_files = int(os.environ.get("DUWAMISH_BENCH_FILES", str(max(1000, int(sf * 1_000_000)))))
+    deg = int(os.environ.get("DUWAMISH_BENCH_DEG", "127"))
+
+    from pyspark.sql import functions as F
+
+    from duwamish_spark.algorithms import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+    from duwamish_spark.functions import minhash_near_dups
+    from duwamish_spark.functions.similarity import knn_cosine_lsh
+    from duwamish_spark.graph import vertices_from
+    from duwamish_spark.session import get_spark
+
+    spark = get_spark("duwamish-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    epath, parse_sec = edges_parquet(spark, n_files, deg)
+    if parse_sec:
+        queries["parse_corpus"] = round(parse_sec, 3)
+    edges = spark.read.parquet(epath)
+    n_edges = edges.count()
+
+    t0 = time.monotonic()
+    verts = vertices_from(None, edges).persist()
+    n_verts = verts.count()
+    queries["build_vertices"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    pr = pagerank(
+        spark, verts, edges, tol=1e-6, max_supersteps=200, num_partitions=cpus,
+        halt_interval=4,
+    )
+    pr.state.count()
+    pr_sec = time.monotonic() - t0
+    queries["pagerank_converged"] = round(pr_sec, 3)
+    extra["pagerank"] = {
+        "supersteps": pr.supersteps,
+        "halted": pr.halted,
+        "residual": pr.last.get("residual"),
+        "vertices": n_verts,
+        "edges": n_edges,
+        "edges_per_sec": round(n_edges * pr.supersteps / pr_sec, 1),
+        "supersteps_per_min": round(pr.supersteps / (pr_sec / 60.0), 2),
+    }
+
+    t0 = time.monotonic()
+    cc = connected_components(spark, verts, edges, num_partitions=cpus)
+    n_comp = cc.state.agg(F.countDistinct("label")).collect()[0][0]
+    queries["connected_components"] = round(time.monotonic() - t0, 3)
+    extra["cc"] = {"rounds": cc.supersteps, "components": n_comp}
+
+    t0 = time.monotonic()
+    lp = label_propagation(spark, verts, edges, max_supersteps=5, num_partitions=cpus)
+    lp.state.count()
+    queries["label_propagation_5"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    tri = triangle_count(edges)
+    queries["triangle_count"] = round(time.monotonic() - t0, 3)
+    extra["triangles"] = tri
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        docs = spark.read.parquet(docs_path)
+        t0 = time.monotonic()
+        minhash_near_dups(docs, threshold=0.5).count()
+        queries["minhash_near_dups"] = round(time.monotonic() - t0, 3)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path)
+        t0 = time.monotonic()
+        knn_cosine_lsh(emb, k=3, n_planes=8).count()
+        queries["knn_cosine_lsh"] = round(time.monotonic() - t0, 3)
+
+    verts.unpersist()
+    spark.stop()
+
+    out = {
+        "metric": "wall seconds per headline query (pagerank to L1<1e-6 convergence)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "graph": {"files": n_files, "max_out_degree": deg, "edges": n_edges},
+        "detail": extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,14 +8,20 @@ program (SURVEY.md §2.4): state = label (init = own id), message = my label
 to all neighbors over the undirected adjacency, combine = min, halt when no
 label changed.
 
-Labels are vertex-id strings; "min" is lexicographic string order, matching
-the reference's id comparator (reference: util/Comparators.java:26-33) —
-deterministic, so the exact-equality gate holds.
+Labels are vertex ids; "min" follows the id ordering, matching the
+reference's id comparator (reference: util/Comparators.java:26-33). With
+``encode=True`` ids run internally as order-preserving dense longs
+(graph.encode_vertices), so min-label results are identical after decode —
+the exact-equality gate holds.
 
-Scale note: only vertices whose label changed last round send messages (the
-frontier) — the Pregel analog of vote-to-halt putting quiet vertices to
-sleep. Message volume decays geometrically after the first few rounds
-instead of staying at |E| per round.
+Scale notes:
+- only vertices whose label changed last round send messages (the
+  frontier) — the Pregel analog of vote-to-halt putting quiet vertices to
+  sleep; message volume decays geometrically after the first rounds.
+- ``broadcast`` strategy (V ≤ broadcast_max_vertices): edges persisted
+  dst-partitioned, frontier broadcast per round, min-combine
+  partition-local — zero message shuffle. ``shuffle`` is the 10^12-scale
+  path.
 """
 
 from __future__ import annotations
@@ -24,19 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from duwamish_spark.graph import symmetrize
+from duwamish_spark.graph import decode_state, prepare_encoding, symmetrize
 from duwamish_spark.pregel import Pregel, PregelResult, combine_messages
 
 
-def _cc_step(state: DataFrame, edges_sym: DataFrame, salt: int = 0) -> DataFrame:
-    frontier = state.where(F.col("_changed") == 1)
-    msgs = frontier.join(edges_sym, frontier["id"] == edges_sym["src"]).select(
-        "dst", F.col("label").alias("m")
-    )
-    mins = combine_messages(
-        msgs, [("mlabel", "m", "min"), ("mcnt", "m", "count")], key="dst", salt=salt
-    ).withColumnRenamed("dst", "id")
-    return state.join(mins, "id", "left").select(
+def _cc_update(state: DataFrame, mins: DataFrame) -> DataFrame:
+    return state.join(mins.hint("shuffle_hash"), "id", "left").select(
         "id",
         F.least("label", F.coalesce("mlabel", "label")).alias("label"),
         F.when(
@@ -46,6 +45,28 @@ def _cc_step(state: DataFrame, edges_sym: DataFrame, salt: int = 0) -> DataFrame
         .alias("_changed"),
         F.coalesce("mcnt", F.lit(0)).alias("_msgs"),
     )
+
+
+def _cc_step(state: DataFrame, edges_sym: DataFrame, salt: int = 0) -> DataFrame:
+    frontier = state.where(F.col("_changed") == 1)
+    msgs = frontier.hint("shuffle_hash").join(
+        edges_sym, frontier["id"] == edges_sym["src"]
+    ).select("dst", F.col("label").alias("m"))
+    mins = combine_messages(
+        msgs, [("mlabel", "m", "min"), ("mcnt", "m", "count")], key="dst", salt=salt
+    ).withColumnRenamed("dst", "id")
+    return _cc_update(state, mins)
+
+
+def _cc_step_broadcast(state: DataFrame, edges_sym: DataFrame) -> DataFrame:
+    frontier = state.where(F.col("_changed") == 1).select("id", "label")
+    msgs = edges_sym.join(
+        F.broadcast(frontier), frontier["id"] == edges_sym["src"]
+    ).select("dst", F.col("label").alias("m"))
+    mins = msgs.groupBy("dst").agg(
+        F.min("m").alias("mlabel"), F.count("m").alias("mcnt")
+    ).withColumnRenamed("dst", "id")
+    return _cc_update(state, mins)
 
 
 def connected_components(
@@ -59,16 +80,34 @@ def connected_components(
     reliable_interval: int = 10,
     num_partitions: int | None = None,
     salt: int = 0,
+    halt_interval: int = 1,
+    strategy: str = "auto",
+    encode: bool = True,
+    broadcast_max_vertices: int = 5_000_000,
     resume: bool = False,
 ) -> PregelResult:
     """Result state: (id, label) where label = min vertex id in the component."""
-    edges_sym = symmetrize(edges)
+    mapping = None
+    verts, e = vertices, edges
+    if encode:
+        mapping, verts, e = prepare_encoding(
+            spark, vertices, edges, num_partitions, checkpoint_dir, run_id, resume
+        )
+
+    n_verts = verts.count()
+    use_broadcast = strategy == "broadcast" or (
+        strategy == "auto" and n_verts <= broadcast_max_vertices
+    )
+
+    edges_sym = symmetrize(e)
     if num_partitions:
-        edges_sym = edges_sym.repartition(num_partitions, "src")
+        edges_sym = edges_sym.repartition(
+            num_partitions, "dst" if use_broadcast else "src"
+        )
     edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
     edges_sym.count()
 
-    init = vertices.select(
+    init = verts.select(
         "id", F.col("id").alias("label"), F.lit(1).alias("_changed"), F.lit(0).alias("_msgs")
     )
     if num_partitions:
@@ -79,17 +118,26 @@ def connected_components(
         "message_count": F.sum("_msgs"),
         "component_min": F.min("label"),
     }
+    if use_broadcast:
+        step = lambda st, s: _cc_step_broadcast(st, edges_sym)  # noqa: E731
+    else:
+        step = lambda st, s: _cc_step(st, edges_sym, salt)  # noqa: E731
+
     runner = Pregel(
         spark,
-        step=lambda st, s: _cc_step(st, edges_sym, salt),
+        step=step,
         metrics_exprs=metrics,
         halt=lambda m, s: (m["changed"] or 0) == 0,
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,
         reliable_interval=reliable_interval,
         max_supersteps=max_supersteps,
+        halt_interval=halt_interval,
     )
     try:
-        return runner.run(init, resume=resume)
+        res = runner.run(init, resume=resume)
+        if mapping is not None:
+            res.state = decode_state(res.state, mapping, ("id", "label"))
+        return res
     finally:
         edges_sym.unpersist()

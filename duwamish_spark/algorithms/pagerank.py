@@ -16,17 +16,25 @@ Semantics pinned to the reference:
   north rule sets the threshold at 1e-6;
 - hard cap 200 supersteps (reference: PageRank.java:41,87,124).
 
-Plan shape per superstep (two small V-row shuffles + ONE E-row shuffle,
-which *is* the message exchange):
+Physical strategies (measured on the 100k-vertex / 6.35M-edge bench graph,
+local[32]):
 
-    ranks ⋈ edges_w (src)  →  select(dst, rank·w)      [messages]
-    groupBy(dst).sum                                     [combine]
-    vertices ⟕ sums (id)   →  (1-d) + d·coalesce(sum,0)  [update]
+- ``shuffle`` — the 10^12-scale path. ``edges_w`` persisted pre-partitioned
+  on ``src``; per superstep: state exchanges (V rows) to the edge
+  partitioning, SHUFFLE_HASH join generates messages, map-side partial
+  aggregation combines before the one E-bounded shuffle by ``dst``.
+- ``broadcast`` — when the vertex state fits a broadcast (V ≤
+  ``broadcast_max_vertices``): ``edges_w`` persisted pre-partitioned on
+  ``dst``; the rank vector is broadcast each superstep, so message combine
+  is PARTITION-LOCAL (partial+final hash aggregate in one codegen stage,
+  zero message shuffle). ~2x faster at bench scale (0.64s vs 1.25s per
+  superstep).
+- ``auto`` — pick broadcast iff V ≤ broadcast_max_vertices (mirrors
+  Spark's own broadcast-join selection).
 
-``edges_w`` (edge + 1/out_degree weight) is computed once and persisted
-pre-partitioned on ``src`` so the per-superstep join reuses its exchange;
-the reference instead re-counts degree per superstep by materializing the
-edge iterator (PageRank.java:58).
+With ``encode=True`` (default), string vertex ids are dictionary-encoded to
+dense order-preserving longs once up front (graph.encode_vertices) and
+decoded on the way out — fixed-width join/agg keys, ~1.6x.
 """
 
 from __future__ import annotations
@@ -35,42 +43,68 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from duwamish_spark.graph import out_degrees
+from duwamish_spark.graph import decode_state, out_degrees, prepare_encoding
 from duwamish_spark.pregel import Pregel, PregelResult, combine_messages
 
 
-def _edges_weighted(vertices: DataFrame, edges: DataFrame, num_partitions: int | None) -> DataFrame:
+def _edges_weighted(
+    vertices: DataFrame,
+    edges: DataFrame,
+    num_partitions: int | None,
+    part_col: str = "src",
+) -> DataFrame:
     deg = out_degrees(vertices, edges)
     ew = edges.join(
         deg.withColumnRenamed("id", "src"), "src"
     ).select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
     if num_partitions:
-        ew = ew.repartition(num_partitions, "src")
+        ew = ew.repartition(num_partitions, part_col)
     return ew
+
+
+def _update(state: DataFrame, sums: DataFrame, damping: float) -> DataFrame:
+    new_rank = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
+    return state.join(sums.hint("shuffle_hash"), "id", "left").select(
+        "id",
+        new_rank.alias("rank"),
+        F.abs(new_rank - F.col("rank")).alias("_delta"),
+        F.coalesce("mcnt", F.lit(0)).alias("_msgs"),
+    )
 
 
 def pagerank_step(
     state: DataFrame, edges_w: DataFrame, damping: float = 0.85, salt: int = 0
 ) -> DataFrame:
-    """One superstep: state(id, rank) → state(id, rank, _delta, _msgs)."""
-    msgs = state.join(edges_w, state["id"] == edges_w["src"]).select(
-        "dst", (F.col("rank") * F.col("w")).alias("m")
-    )
+    """One shuffle-strategy superstep: state(id, rank) → (id, rank, _delta, _msgs).
+
+    ``shuffle_hash`` hints pin the physical strategy: the state side (V
+    rows) is the hash-build side, so the persisted edge table — already
+    hash-partitioned on ``src`` — is streamed with NO re-exchange, re-sort,
+    or per-superstep broadcast rebuild. The only E-row shuffle left is the
+    message combine itself (map-side partial aggregated; ``salt`` splits
+    hot destinations across reducer sub-keys).
+    """
+    msgs = state.hint("shuffle_hash").join(
+        edges_w, state["id"] == edges_w["src"]
+    ).select("dst", (F.col("rank") * F.col("w")).alias("m"))
     sums = combine_messages(
         msgs, [("msum", "m", "sum"), ("mcnt", "m", "count")], key="dst", salt=salt
     ).withColumnRenamed("dst", "id")
-    return state.join(sums, "id", "left").select(
-        "id",
-        (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))).alias(
-            "rank"
-        ),
-        F.abs(
-            F.lit(1.0 - damping)
-            + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
-            - F.col("rank")
-        ).alias("_delta"),
-        F.coalesce("mcnt", F.lit(0)).alias("_msgs"),
+    return _update(state, sums, damping)
+
+
+def pagerank_step_broadcast(
+    state: DataFrame, edges_w: DataFrame, damping: float = 0.85
+) -> DataFrame:
+    """One broadcast-strategy superstep: edges are dst-partitioned, the rank
+    vector is broadcast, message combine is partition-local (no shuffle)."""
+    msgs = edges_w.join(F.broadcast(state), state["id"] == edges_w["src"]).select(
+        "dst", (F.col("rank") * F.col("w")).alias("m")
     )
+    sums = msgs.groupBy("dst").agg(
+        F.sum("m").alias("msum"), F.count("m").alias("mcnt")
+    ).withColumnRenamed("dst", "id")
+    return _update(state, sums, damping)
 
 
 def pagerank(
@@ -86,15 +120,31 @@ def pagerank(
     reliable_interval: int = 10,
     num_partitions: int | None = None,
     salt: int = 0,
+    halt_interval: int = 1,
+    strategy: str = "auto",
+    encode: bool = True,
+    broadcast_max_vertices: int = 5_000_000,
     resume: bool = False,
 ) -> PregelResult:
     """Run PageRank to L1-residual convergence. Result state: (id, rank)."""
-    edges_w = _edges_weighted(vertices, edges, num_partitions).persist(
-        StorageLevel.MEMORY_AND_DISK
+    mapping = None
+    verts, e = vertices, edges
+    if encode:
+        mapping, verts, e = prepare_encoding(
+            spark, vertices, edges, num_partitions, checkpoint_dir, run_id, resume
+        )
+
+    n_verts = verts.count()
+    use_broadcast = strategy == "broadcast" or (
+        strategy == "auto" and n_verts <= broadcast_max_vertices
     )
+
+    edges_w = _edges_weighted(
+        verts, e, num_partitions, "dst" if use_broadcast else "src"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     edges_w.count()  # materialize once; reused every superstep
 
-    init = vertices.select("id", F.lit(1.0).alias("rank"))
+    init = verts.select("id", F.lit(1.0).alias("rank"))
     if num_partitions:
         init = init.repartition(num_partitions, "id")
 
@@ -107,17 +157,26 @@ def pagerank(
         "message_count": F.sum("_msgs"),
     }
 
+    if use_broadcast:
+        step = lambda st, s: pagerank_step_broadcast(st, edges_w, damping)  # noqa: E731
+    else:
+        step = lambda st, s: pagerank_step(st, edges_w, damping, salt)  # noqa: E731
+
     runner = Pregel(
         spark,
-        step=lambda st, s: pagerank_step(st, edges_w, damping, salt),
+        step=step,
         metrics_exprs=metrics,
         halt=lambda m, s: m["residual"] < tol,
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,
         reliable_interval=reliable_interval,
         max_supersteps=max_supersteps,
+        halt_interval=halt_interval,
     )
     try:
-        return runner.run(init, resume=resume)
+        res = runner.run(init, resume=resume)
+        if mapping is not None:
+            res.state = decode_state(res.state, mapping, ("id",))
+        return res
     finally:
         edges_w.unpersist()

@@ -29,7 +29,7 @@ from duwamish_spark.pregel import Pregel, PregelResult
 
 def _sssp_step(state: DataFrame, edges: DataFrame) -> DataFrame:
     frontier = state.where(F.col("_changed") == 1)
-    msgs = frontier.join(edges, frontier["id"] == edges["src"]).select(
+    msgs = frontier.hint("shuffle_hash").join(edges, frontier["id"] == edges["src"]).select(
         "dst",
         F.struct(
             (F.col("dist") + F.col("weight")).alias("dist"),
@@ -42,7 +42,7 @@ def _sssp_step(state: DataFrame, edges: DataFrame) -> DataFrame:
     improved = F.col("best").isNotNull() & (
         F.col("dist").isNull() | (F.col("best.dist") < F.col("dist"))
     )
-    return state.join(best, "id", "left").select(
+    return state.join(best.hint("shuffle_hash"), "id", "left").select(
         "id",
         F.when(improved, F.col("best.dist")).otherwise(F.col("dist")).alias("dist"),
         F.when(improved, F.col("best.pred")).otherwise(F.col("pred")).alias("pred"),
@@ -62,6 +62,7 @@ def shortest_paths(
     run_id: str = "sssp",
     reliable_interval: int = 10,
     num_partitions: int | None = None,
+    halt_interval: int = 1,
     resume: bool = False,
 ) -> PregelResult:
     """Result state: (id, dist, pred); dist null = unreachable.
@@ -100,6 +101,7 @@ def shortest_paths(
         run_id=run_id,
         reliable_interval=reliable_interval,
         max_supersteps=max_supersteps,
+        halt_interval=halt_interval,
     )
     try:
         return runner.run(init, resume=resume)

@@ -125,6 +125,14 @@ class Pregel:
     reliable_interval:
         write a durable parquet checkpoint every k supersteps (local
         checkpoints in between). 1 = every superstep durable.
+    halt_interval:
+        evaluate metrics + halt only every k supersteps; the k supersteps in
+        between are chained lazily into ONE Spark job (their shuffles become
+        stages of that job), amortizing per-job driver overhead — the Spark
+        analog of the reference running its thread-pool barrier without
+        returning to the user between rounds. Convergence may overshoot by
+        up to k-1 supersteps (still below tolerance at halt). Durable
+        checkpoints land on halt boundaries.
     """
 
     def __init__(
@@ -138,6 +146,7 @@ class Pregel:
         run_id: str = "run",
         reliable_interval: int = 10,
         max_supersteps: int = 200,
+        halt_interval: int = 1,
     ) -> None:
         self.spark = spark
         self.step = step
@@ -145,7 +154,9 @@ class Pregel:
         self.halt = halt
         self.checkpoint_dir = checkpoint_dir
         self.run_id = run_id
-        self.reliable_interval = max(1, reliable_interval)
+        self.halt_interval = max(1, halt_interval)
+        # durable checkpoints must land on halt/materialization boundaries
+        self.reliable_interval = max(self.halt_interval, reliable_interval)
         self.max_supersteps = max_supersteps
 
     # -- checkpoint layout -------------------------------------------------
@@ -211,69 +222,103 @@ class Pregel:
                     )
                 start = latest + 1
 
+        from pyspark.sql import Observation
+
+        # AQE's per-stage re-planning is pure latency for this fixed,
+        # well-understood plan shape — disable it for the loop only.
+        conf = self.spark.conf
+        saved_aqe = conf.get("spark.sql.adaptive.enabled")
+        conf.set("spark.sql.adaptive.enabled", "false")
+
         cached: list[DataFrame] = []
         halted = False
         s = start
-        for s in range(start, self.max_supersteps):
-            t0 = time.monotonic()
-            new_state = self.step(state, s)
+        t0 = time.monotonic()
+        try:
+            for s in range(start, self.max_supersteps):
+                new_state = self.step(state, s)
 
-            durable = bool(self.checkpoint_dir) and (
-                (s + 1) % self.reliable_interval == 0 or s == self.max_supersteps - 1
-            )
-            if durable:
-                new_state = self._write_reliable(new_state, s)
-            else:
-                new_state = new_state.localCheckpoint(eager=True)
-                cached.append(new_state)
-
-            agg_row = (
-                new_state.agg(
-                    F.count(F.lit(1)).alias("vertex_count"),
-                    *[c.alias(n) for n, c in self.metrics_exprs.items()],
+                boundary = (
+                    (s + 1) % self.halt_interval == 0 or s == self.max_supersteps - 1
                 )
-                .collect()[0]
-                .asDict()
-            )
-            wall_ms = (time.monotonic() - t0) * 1000.0
-            row = {"superstep": s, "wall_ms": round(wall_ms, 3), **agg_row}
-            metrics_hist.append(row)
-            self._log_metrics(row)
+                if not boundary:
+                    # chain lazily — the next step() composes onto this plan
+                    # and it all executes as one job at the next boundary
+                    state = new_state
+                    continue
 
-            halted = bool(self.halt(row, s))
+                durable = bool(self.checkpoint_dir) and (
+                    (s + 1) % self.reliable_interval == 0
+                    or s == self.max_supersteps - 1
+                )
 
-            if durable:
-                # per-partition lineage (reference analog: per-partition
-                # accumulation maps merged at the barrier, Duwamish.java:222-230)
-                part_counts = {
-                    str(r["pid"]): r["cnt"]
-                    for r in new_state.groupBy(
-                        F.spark_partition_id().alias("pid")
+                if durable:
+                    new_state = self._write_reliable(new_state, s)
+                    agg_row = (
+                        new_state.agg(
+                            F.count(F.lit(1)).alias("vertex_count"),
+                            *[c.alias(n) for n, c in self.metrics_exprs.items()],
+                        )
+                        .collect()[0]
+                        .asDict()
                     )
-                    .agg(F.count(F.lit(1)).alias("cnt"))
-                    .collect()
-                }
-                manifest = {
-                    "run_id": self.run_id,
-                    "superstep": s,
-                    "halted": halted,
-                    "partition_vertex_counts": part_counts,
-                    "metrics_history": metrics_hist,
-                }
-                with open(self._manifest_path(s), "w") as f:
-                    json.dump(manifest, f, default=str)
+                else:
+                    # metrics ride along with the one materializing job (the
+                    # accumulator analog: reference Duwamish.java:222-230) —
+                    # no separate aggregation job per superstep
+                    obs = Observation()
+                    new_state = new_state.observe(
+                        obs,
+                        F.count(F.lit(1)).alias("vertex_count"),
+                        *[c.alias(n) for n, c in self.metrics_exprs.items()],
+                    ).localCheckpoint(eager=True)
+                    cached.append(new_state)
+                    agg_row = dict(obs.get)
 
-            # free local checkpoints older than 2 supersteps
-            while len(cached) > 2:
-                old = cached.pop(0)
-                try:
-                    old.rdd.unpersist(False)
-                except Exception:
-                    pass
+                wall_ms = (time.monotonic() - t0) * 1000.0
+                t0 = time.monotonic()
+                row = {"superstep": s, "wall_ms": round(wall_ms, 3), **agg_row}
+                metrics_hist.append(row)
+                self._log_metrics(row)
 
-            state = new_state
-            if halted:
-                break
+                halted = bool(self.halt(row, s))
+
+                if durable:
+                    # per-partition lineage (reference analog: per-partition
+                    # accumulation maps merged at the barrier,
+                    # Duwamish.java:222-230)
+                    part_counts = {
+                        str(r["pid"]): r["cnt"]
+                        for r in new_state.groupBy(
+                            F.spark_partition_id().alias("pid")
+                        )
+                        .agg(F.count(F.lit(1)).alias("cnt"))
+                        .collect()
+                    }
+                    manifest = {
+                        "run_id": self.run_id,
+                        "superstep": s,
+                        "halted": halted,
+                        "partition_vertex_counts": part_counts,
+                        "metrics_history": metrics_hist,
+                    }
+                    with open(self._manifest_path(s), "w") as f:
+                        json.dump(manifest, f, default=str)
+
+                # free local checkpoints older than 2 supersteps
+                while len(cached) > 2:
+                    old = cached.pop(0)
+                    try:
+                        old.rdd.unpersist(False)
+                    except Exception:
+                        pass
+
+                state = new_state
+                if halted:
+                    break
+        finally:
+            if saved_aqe is not None:
+                conf.set("spark.sql.adaptive.enabled", saved_aqe)
 
         # drop transient metric columns
         final = state.select(*[c for c in state.columns if not c.startswith("_")])

@@ -41,6 +41,14 @@ def test_isolated_vertices_keep_own_label(spark):
 
 def test_salted_equals_unsalted(spark):
     ids, edges = rand_graph(150, 3, 6)
-    plain, _ = _run(spark, ids, edges)
-    salted, _ = _run(spark, ids, edges, salt=8)
+    plain, _ = _run(spark, ids, edges, strategy="shuffle")
+    salted, _ = _run(spark, ids, edges, salt=8, strategy="shuffle")
     assert plain == salted
+
+
+def test_strategies_and_encoding_exact_equal(spark):
+    ids, edges = rand_graph(200, 2, 19)
+    a, _ = _run(spark, ids, edges, strategy="shuffle", encode=False)
+    b, _ = _run(spark, ids, edges, strategy="shuffle", encode=True)
+    c, _ = _run(spark, ids, edges, strategy="broadcast", encode=True)
+    assert a == b == c

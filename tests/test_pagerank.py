@@ -59,10 +59,24 @@ def test_random_graph_vs_oracle(spark, v, maxdeg, seed):
 
 def test_salted_equals_unsalted(spark):
     ids, edges = rand_graph(150, 10, 5)
-    plain, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=8)
-    salted, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=8, salt=8)
+    plain, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=8, strategy="shuffle")
+    salted, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=8, salt=8, strategy="shuffle")
     for v in ids:
         assert salted[v] == pytest.approx(plain[v], abs=1e-9)
+
+
+def test_strategies_and_encoding_equivalent(spark):
+    ids, edges = rand_graph(150, 8, 17)
+    variants = [
+        _run(spark, ids, edges, tol=0.0, max_supersteps=8, strategy="shuffle", encode=False)[0],
+        _run(spark, ids, edges, tol=0.0, max_supersteps=8, strategy="shuffle", encode=True)[0],
+        _run(spark, ids, edges, tol=0.0, max_supersteps=8, strategy="broadcast", encode=True)[0],
+    ]
+    base = variants[0]
+    for other in variants[1:]:
+        assert set(other) == set(base)
+        for v in ids:
+            assert other[v] == pytest.approx(base[v], abs=1e-12)
 
 
 def test_convergence_to_l1_tolerance(spark):

@@ -24,6 +24,21 @@ def graph(spark):
     return vertices_df(spark, ids), edges_df(spark, edges)
 
 
+def test_halt_interval_equivalence(spark, graph):
+    """Chaining k supersteps per job must not change the computed state."""
+    v, e = graph
+    a = pagerank(spark, v, e, tol=0.0, max_supersteps=10, halt_interval=1)
+    b = pagerank(spark, v, e, tol=0.0, max_supersteps=10, halt_interval=5)
+    ra = {r["id"]: r["rank"] for r in a.state.collect()}
+    rb = {r["id"]: r["rank"] for r in b.state.collect()}
+    assert a.supersteps == b.supersteps == 10
+    for k in ra:
+        assert rb[k] == pytest.approx(ra[k], abs=1e-12)
+    # convergence with halt_interval still halts below tolerance
+    c = pagerank(spark, v, e, tol=1e-6, halt_interval=5)
+    assert c.halted and c.last["residual"] < 1e-6
+
+
 def test_resume_equals_uninterrupted(spark, graph, tmp_path):
     v, e = graph
     full = pagerank(spark, v, e, tol=0.0, max_supersteps=12)
