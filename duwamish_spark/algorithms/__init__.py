@@ -3,8 +3,10 @@ from duwamish_spark.algorithms.components import connected_components
 from duwamish_spark.algorithms.labelprop import label_propagation
 from duwamish_spark.algorithms.triangles import triangle_count, triangle_count_per_vertex
 from duwamish_spark.algorithms.sssp import shortest_paths
+from duwamish_spark.algorithms.recommend import recommendations
 
 __all__ = [
+    "recommendations",
     "pagerank",
     "pagerank_step",
     "connected_components",

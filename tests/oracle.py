@@ -139,6 +139,68 @@ def sssp_oracle(
     return {v: (dist[v], pred[v]) for v in vertex_ids}
 
 
+def recommend_oracle(
+    ratings: list[tuple[str, str, str, float]],
+    n_features: int = 2,
+    runs_per_feature: int = 3,
+    lr: float = 0.001,
+    cap: float = 10.0,
+):
+    """NumPy mirror of the reference SGD recommendations program
+    (Recommendations.java:42-119). Returns (U_by_user, M_by_movie,
+    residue_by_rating, final_mse)."""
+    users = sorted({r[0] for r in ratings})
+    movies = sorted({r[1] for r in ratings})
+    ui = {u: i for i, u in enumerate(users)}
+    mi = {m: i for i, m in enumerate(movies)}
+    u_idx = np.array([ui[r[0]] for r in ratings])
+    m_idx = np.array([mi[r[1]] for r in ratings])
+    rat = np.array([r[3] for r in ratings], dtype=np.float64)
+    U = np.ones((len(users), n_features))
+    M = np.ones((len(movies), n_features))
+    residue = np.zeros(len(ratings))
+    gu = np.zeros(len(users))
+    gm = np.zeros(len(movies))
+    uval = mval = None
+    mse = None
+    for s in range(n_features * runs_per_feature * 2):
+        rnd = s // 2
+        cf = rnd // runs_per_feature
+        if s % 2 == 0:
+            rf = cf - (1 if (rnd % runs_per_feature == 0 and rnd != 0) else 0)
+            U[:, rf] = np.clip(U[:, rf] + gu, -cap, cap)
+            M[:, rf] = np.clip(M[:, rf] + gm, -cap, cap)
+            uval = U[u_idx, cf].copy()
+            mval = M[m_idx, cf].copy()
+        else:
+            pred = residue + uval * mval
+            err = lr * (rat - pred)
+            gu = np.bincount(u_idx, weights=err * mval, minlength=len(users))
+            gm = np.bincount(m_idx, weights=err * uval, minlength=len(movies))
+            if (rnd + 1) % runs_per_feature == 0:
+                residue = residue + pred
+            mse = float((err * err).sum())
+    return (
+        {u: U[ui[u]].tolist() for u in users},
+        {m: M[mi[m]].tolist() for m in movies},
+        {ratings[k][2]: float(residue[k]) for k in range(len(ratings))},
+        mse,
+    )
+
+
+def bipartite_ratings(m: int, u: int, maxr: int, seed: int):
+    """(user_id, movie_id, rating_id, rating) rows shaped like the
+    reference generator (Recommendations.java:158-181)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    k = 0
+    for i in range(u):
+        for _ in range(int(rng.integers(0, maxr))):
+            out.append((f"u{i}", f"m{int(rng.integers(0, m))}", f"r{k}", float(rng.integers(0, 5))))
+            k += 1
+    return out
+
+
 def rand_graph(v: int, maxdeg: int, seed: int) -> tuple[list[str], list[tuple[str, str]]]:
     """Reference-generator-shaped random graph (example/PageRank.java:113-122):
     outdeg ~ U{0..maxdeg}, uniform targets, self-loops + duplicates allowed."""
