@@ -135,6 +135,47 @@ def q_triangle_count(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus parse stage (the engine's "scan": source-code table -> edge table)
+# ---------------------------------------------------------------------------
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_ENTRY_CORPUS = os.path.join(_REPO_DIR, ".bench_cache", "entry_corpus_n2000_d8_s7.parquet")
+
+
+def _ensure_entry_corpus() -> str:
+    """Small deterministic source-code corpus (input_hint shape) both
+    engines read: Spark parses it with the vectorized Arrow UDF, DuckDB
+    re-derives the same edges in SQL (read_parquet + regexp)."""
+    if not os.path.exists(_ENTRY_CORPUS):
+        from duwamish_spark.corpus import synth_corpus
+
+        os.makedirs(os.path.dirname(_ENTRY_CORPUS), exist_ok=True)
+        corpus, _ = synth_corpus(2000, 8, seed=7)
+        tmp = _ENTRY_CORPUS + ".tmp"
+        corpus.to_parquet(tmp, index=False)
+        os.replace(tmp, _ENTRY_CORPUS)
+    return _ENTRY_CORPUS
+
+
+def q_parse_edges(spark, sf_dir):
+    from duwamish_spark.parse import extract_edges
+
+    corpus = spark.read.parquet(_ensure_entry_corpus())
+    return extract_edges(corpus).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_content_sha256(spark, sf_dir):
+    # the per-row invariant (BASELINE.json input_hint): content sha256
+    # computed independently by both engines over the same parquet
+    from duwamish_spark.parse import sha256_manifest
+
+    corpus = spark.read.parquet(_ensure_entry_corpus())
+    return sha256_manifest(corpus).select("repo", "path", "sha256")
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
 
@@ -228,6 +269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_step1": q_pagerank_step1,
         "pagerank_fixed10": q_pagerank_fixed10,
         "pagerank_converged": q_pagerank_converged,
+        "parse_edges": q_parse_edges,
+        "content_sha256": q_content_sha256,
         "cc_round1": q_cc_round1,
         "cc_converged": q_cc_converged,
         "lp_round1": q_lp_round1,
@@ -275,7 +318,39 @@ def oracle_sql() -> dict[str, str]:
         )
         + " END"
     )
+    corpus_file = _ensure_entry_corpus()
     return {
+        "parse_edges": f"""
+            WITH c AS (SELECT repo, path, lang, content
+                       FROM read_parquet('{corpus_file}')),
+            l AS (SELECT repo, path, lang,
+                         unnest(string_split(content, chr(10))) AS line
+                  FROM c),
+            hits AS (
+                SELECT repo || '/' || path AS src,
+                       CASE lang
+                         WHEN 'python' THEN
+                           repo || '/' || replace(regexp_extract(line, '^(?:import|from)\\s+([\\w.]+)', 1), '.', '/') || '.py'
+                         WHEN 'java' THEN
+                           repo || '/' || replace(regexp_extract(line, '^import\\s+([\\w.]+)\\s*;', 1), '.', '/') || '.java'
+                         WHEN 'c' THEN
+                           repo || '/' || regexp_extract(line, '^#include\\s+"([^"]+)"', 1)
+                         WHEN 'go' THEN
+                           regexp_extract(line, '^import\\s+"([^"]+)"', 1) || '.go'
+                       END AS dst,
+                       CASE lang
+                         WHEN 'python' THEN regexp_matches(line, '^(?:import|from)\\s+[\\w.]+')
+                         WHEN 'java' THEN regexp_matches(line, '^import\\s+[\\w.]+\\s*;')
+                         WHEN 'c' THEN regexp_matches(line, '^#include\\s+"[^"]+"')
+                         WHEN 'go' THEN regexp_matches(line, '^import\\s+"[^"]+"')
+                       END AS ok
+                FROM l)
+            SELECT src, dst, count(*) AS n FROM hits WHERE ok GROUP BY src, dst
+        """,
+        "content_sha256": f"""
+            SELECT repo, path, sha256(content) AS sha256
+            FROM read_parquet('{corpus_file}')
+        """,
         "graph_out_degree": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE}
             SELECT v.id AS id, count(e.src) AS out_degree
