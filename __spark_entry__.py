@@ -235,6 +235,66 @@ def q_knn_cosine(spark, sf_dir):
     )
 
 
+def _media_parquet(sf_dir: str) -> str:
+    """Deterministic media table (binary payloads) derived from documents,
+    cached to parquet so BOTH engines audit the same bytes. Pure pandas
+    (no Spark) so either side — Spark query or DuckDB oracle — can create
+    it first; the payload layout matches functions.multimodal.synth_media."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from duwamish_spark.functions.multimodal import _synth_payload
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_REPO_DIR, ".bench_cache", f"entry_media_{tag}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text"]
+        ]
+        kinds = np.array(["image", "audio", "video"])
+        kind = kinds[
+            pd.util.hash_pandas_object(docs["doc_id"].astype(str), index=False).to_numpy() % 3
+        ]
+        payloads, widths, heights, frames = [], [], [], []
+        for t, k in zip(docs["text"].astype(str).to_numpy(), kind):
+            p = _synth_payload(t.encode("utf-8"), k)
+            w, hgt = struct.unpack(">II", p[4:12])
+            payloads.append(p)
+            widths.append(w)
+            heights.append(hgt)
+            frames.append(1 if k == "image" else len(p[16:]) // max(w * hgt, 1))
+        out = pd.DataFrame(
+            {
+                "media_id": docs["doc_id"].astype(str),
+                "kind": kind,
+                "payload": payloads,
+                "width": np.asarray(widths, dtype=np.int32),
+                "height": np.asarray(heights, dtype=np.int32),
+                "n_frames": np.asarray(frames, dtype=np.int32),
+            }
+        )
+        out.to_parquet(path + ".tmp", index=False)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def q_media_decode(spark, sf_dir):
+    """Binary-column plumbing: decode_media's header parse + sizes, plus a
+    payload-byte equality proof (sha256 over hex) both engines compute
+    independently from the same parquet."""
+    from duwamish_spark.functions import decode_media
+
+    media = spark.read.parquet(_media_parquet(sf_dir))
+    feats = decode_media(media).select("media_id", "kind", "n_bytes", "width", "height")
+    paysha = media.select(
+        "media_id", F.lower(F.sha2(F.hex("payload"), 256)).alias("payload_sha")
+    )
+    return feats.join(paysha, "media_id")
+
+
 def q_minhash_near_dups(spark, sf_dir):
     # engine-only (deterministic but hash functions differ from DuckDB's):
     # rows-only check; semantics tested against a Python oracle in pytest
@@ -283,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "knn_cosine": q_knn_cosine,
         "minhash_near_dups": q_minhash_near_dups,
+        "media_decode": q_media_decode,
     }
 
 
@@ -299,6 +360,16 @@ def _pagerank_chain_sql(steps: int) -> str:
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 6) AS rank FROM r{steps}"
     )
 
+
+
+_MEDIA_SQL_TEMPLATE = """
+    SELECT media_id, kind,
+           octet_length(payload) AS n_bytes,
+           ('0x' || substring(hex(payload), 9, 8))::UINTEGER::INTEGER AS width,
+           ('0x' || substring(hex(payload), 17, 8))::UINTEGER::INTEGER AS height,
+           lower(sha256(hex(payload))) AS payload_sha
+    FROM read_parquet('{path}')
+"""
 
 def oracle_sql() -> dict[str, str]:
     tok_cte = (
@@ -319,6 +390,9 @@ def oracle_sql() -> dict[str, str]:
         + " END"
     )
     corpus_file = _ensure_entry_corpus()
+    _MEDIA_SQL = _MEDIA_SQL_TEMPLATE.format(
+        path=_media_parquet("/root/testdata/sf0.01")
+    )
     return {
         "parse_edges": f"""
             WITH c AS (SELECT repo, path, lang, content
@@ -424,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, generate_series(0, 63) t(i)
             GROUP BY label, i
         """,
+        "media_decode": _MEDIA_SQL,
         "knn_cosine": """
             WITH pairs AS (
                 SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,

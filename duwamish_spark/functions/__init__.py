@@ -7,6 +7,13 @@ from duwamish_spark.functions.text import (
 )
 from duwamish_spark.functions.dedup import exact_dedup, minhash_signatures, minhash_near_dups, simhash64
 from duwamish_spark.functions.similarity import cosine_sim_col, knn_cosine, label_centroids
+from duwamish_spark.functions.multimodal import (
+    synth_media,
+    decode_media,
+    frame_sample,
+    resize_media,
+    embed_media,
+)
 
 __all__ = [
     "tokens_col",
@@ -21,4 +28,9 @@ __all__ = [
     "cosine_sim_col",
     "knn_cosine",
     "label_centroids",
+    "synth_media",
+    "decode_media",
+    "frame_sample",
+    "resize_media",
+    "embed_media",
 ]
