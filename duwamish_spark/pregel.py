@@ -76,11 +76,15 @@ def combine_messages(
     cores (measured: 0.57 vs 0.82 strong-scaling efficiency at 63.5M
     edges / 1M vertices). Correctness is identical either way (tested).
     """
-    if pre_shuffle:
-        messages = messages.repartition(F.col(key))
     if salt and salt > 1:
+        # split each hot destination across `salt` reducer sub-keys; with
+        # pre_shuffle the exchange itself runs on (key, salt) so no single
+        # reducer partition receives a hub's full in-degree
         salt_col = F.pmod(F.hash(*[c for c in messages.columns if c != key]), F.lit(salt))
-        partial = messages.groupBy(F.col(key), salt_col.alias("_salt")).agg(
+        messages = messages.withColumn("_salt", salt_col)
+        if pre_shuffle:
+            messages = messages.repartition(F.col(key), F.col("_salt"))
+        partial = messages.groupBy(key, "_salt").agg(
             *[
                 _ALGEBRAIC[kind][0](in_col).alias(out)
                 for out, in_col, kind in aggs
@@ -92,6 +96,8 @@ def combine_messages(
                 for out, _, kind in aggs
             ]
         )
+    if pre_shuffle:
+        messages = messages.repartition(F.col(key))
     return messages.groupBy(key).agg(
         *[_ALGEBRAIC[kind][0](in_col).alias(out) for out, in_col, kind in aggs]
     )

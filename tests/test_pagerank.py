@@ -99,5 +99,10 @@ def test_raw_combine_equals_partial(spark):
     raw, _ = _run(
         spark, ids, edges, tol=0.0, max_supersteps=8, strategy="shuffle", combine="raw"
     )
+    raw_salted, _ = _run(
+        spark, ids, edges, tol=0.0, max_supersteps=8, strategy="shuffle",
+        combine="raw", salt=8,
+    )
     for v in ids:
         assert raw[v] == pytest.approx(partial[v], abs=1e-9)
+        assert raw_salted[v] == pytest.approx(partial[v], abs=1e-9)
