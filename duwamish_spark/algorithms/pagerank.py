@@ -161,6 +161,11 @@ def pagerank(
     }
 
     if use_broadcast:
+        # chained (lazy) supersteps re-execute the upstream chain inside
+        # each broadcast build, so recompute grows quadratically with the
+        # chain depth; measured sweet spot is 4 (18.7M e/s vs 8.0M at 8 on
+        # the SF=0.1 bench graph) — cap rather than let it degrade
+        halt_interval = min(halt_interval, 4)
         step = lambda st, s: pagerank_step_broadcast(st, edges_w, damping)  # noqa: E731
     else:
         step = lambda st, s: pagerank_step(st, edges_w, damping, salt, combine)  # noqa: E731
