@@ -124,6 +124,22 @@ def q_lp_round1(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=1).state
 
 
+def q_lp_round3(spark, sf_dir):
+    from duwamish_spark.algorithms import label_propagation
+
+    v, e = _graph(spark, sf_dir)
+    return label_propagation(spark, v, e, max_supersteps=3).state
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    from duwamish_spark.algorithms.triangles import triangle_count_per_vertex
+    from duwamish_spark.graph import vertices_from
+
+    _, e = _graph(spark, sf_dir)
+    v = vertices_from(None, e)
+    return triangle_count_per_vertex(e, v)
+
+
 SSSP_SOURCE = 1  # vertex 1 = l_orderkey % 599 == 1 (orderkey 1 always exists)
 
 
@@ -332,17 +348,17 @@ def q_minhash_near_dups(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full PageRank (engine Pregel loop) on the sf0.001 graph."""
+    """Flagship: the full engine pipeline — source-code corpus (input_hint
+    shape) → vectorized Arrow import parser → edge table → PageRank Pregel
+    loop to L1 < 1e-6 convergence."""
     from duwamish_spark.algorithms import pagerank
-    from duwamish_spark.graph import vertices_from
+    from duwamish_spark.graph import corpus_vertex_ids, vertices_from
+    from duwamish_spark.parse import extract_edges
 
-    sf_dir = "/root/testdata/sf0.001"
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    e = li.select(
-        (F.col("l_orderkey") % 199).alias("src"), (F.col("l_partkey") % 199).alias("dst")
-    )
-    v = vertices_from(None, e)
-    res = pagerank(spark, v, e, tol=1e-6, max_supersteps=30)
+    corpus = spark.read.parquet(_ensure_entry_corpus())
+    e = extract_edges(corpus)
+    v = vertices_from(corpus_vertex_ids(corpus), e)
+    res = pagerank(spark, v, e, tol=1e-6, max_supersteps=120)
     return res.state
 
 
@@ -357,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_round1": q_cc_round1,
         "cc_converged": q_cc_converged,
         "lp_round1": q_lp_round1,
+        "lp_round3": q_lp_round3,
+        "triangles_per_vertex": q_triangles_per_vertex,
         "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
         "dedup_exact": q_dedup_exact,
@@ -370,6 +388,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
     }
 
+
+
+
+def _lp_chain_sql(steps: int) -> str:
+    ctes = [_EDGE_CTE, _VERT_CTE, _SYM_CTE, "l0 AS (SELECT id, id AS label FROM v)"]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"c{i} AS (SELECT sym.dst AS id, l.label AS m, count(*) AS c FROM sym "
+            f"JOIN l{i-1} l ON l.id = sym.src GROUP BY sym.dst, l.label)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT id, m, row_number() OVER (PARTITION BY id "
+            f"ORDER BY c DESC, m ASC) AS rn FROM c{i})"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT v.id AS id, coalesce(p.m, v.id) AS label FROM v "
+            f"LEFT JOIN (SELECT id, m FROM p{i} WHERE rn = 1) p ON p.id = v.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{steps}"
 
 
 def _sssp_chain_sql(steps: int) -> str:
@@ -503,6 +540,20 @@ def oracle_sql() -> dict[str, str]:
             pick AS (SELECT id, m, row_number() OVER (PARTITION BY id ORDER BY c DESC, m ASC) AS rn FROM cnt)
             SELECT v.id AS id, coalesce(p.m, v.id) AS label
             FROM v LEFT JOIN (SELECT id, m FROM pick WHERE rn = 1) p ON p.id = v.id
+        """,
+        "lp_round3": _lp_chain_sql(3),
+        "triangles_per_vertex": f"""
+            WITH {_EDGE_CTE}, {_VERT_CTE},
+            c AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+                  FROM e WHERE src <> dst),
+            tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c3
+                    FROM c e1 JOIN c e2 ON e1.dst = e2.src
+                    JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c3 FROM tri),
+            cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id)
+            SELECT v.id AS id, coalesce(cnt.t, 0) AS triangles
+            FROM v LEFT JOIN cnt ON cnt.id = v.id
         """,
         "sssp_round3": _sssp_chain_sql(3),
         "triangle_count": f"""

@@ -1,0 +1,56 @@
+"""Corpus source abstraction: schema validation, predicate pushdown."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from duwamish_spark.corpus import synth_corpus
+from duwamish_spark.sources import load_corpus, write_edges
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("src") / "corpus.parquet")
+    corpus, _ = synth_corpus(300, 6, seed=3)
+    corpus.to_parquet(p, index=False)
+    return p
+
+
+def test_load_corpus_roundtrip(spark, corpus_path):
+    df = load_corpus(spark, corpus_path)
+    assert df.count() == 300
+    assert set(df.columns) >= {"repo", "path", "commit", "lang", "content"}
+
+
+def test_load_corpus_predicate_pushdown(spark, corpus_path):
+    df = load_corpus(spark, corpus_path, predicate="lang = 'python'")
+    assert df.count() == df.where("lang = 'python'").count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_load_corpus_rejects_wrong_schema(spark, tmp_path):
+    import pandas as pd
+
+    bad = str(tmp_path / "bad.parquet")
+    pd.DataFrame({"x": [1]}).to_parquet(bad)
+    with pytest.raises(ValueError, match="missing columns"):
+        load_corpus(spark, bad)
+
+
+def test_load_corpus_unknown_format(spark, corpus_path):
+    with pytest.raises(ValueError, match="unknown corpus source"):
+        load_corpus(spark, corpus_path, source_format="csvish")
+
+
+def test_write_edges_roundtrip(spark, corpus_path, tmp_path):
+    from duwamish_spark.parse import extract_edges
+
+    out = str(tmp_path / "edges.parquet")
+    edges = extract_edges(load_corpus(spark, corpus_path))
+    write_edges(edges, out)
+    back = spark.read.parquet(out)
+    assert back.count() == edges.count()
+    assert set(back.columns) == {"src", "dst"}
