@@ -124,12 +124,35 @@ def main() -> None:
     queries["triangle_count"] = round(time.monotonic() - t0, 3)
     extra["triangles"] = tri
 
+    t0 = time.monotonic()
+    src_row = edges.limit(1).collect()
+    if src_row:
+        from duwamish_spark.algorithms.sssp import shortest_paths
+        from pyspark.sql import functions as _F
+
+        we = edges.withColumn("weight", _F.lit(1.0))
+        sp = shortest_paths(
+            spark, verts, we, source=src_row[0]["src"], num_partitions=cpus
+        )
+        reached = sp.last.get("reached")
+        queries["sssp_converged"] = round(time.monotonic() - t0, 3)
+        extra["sssp"] = {"rounds": sp.supersteps, "reached": reached}
+
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs_path):
         docs = spark.read.parquet(docs_path)
         t0 = time.monotonic()
         minhash_near_dups(docs, threshold=0.5).count()
         queries["minhash_near_dups"] = round(time.monotonic() - t0, 3)
+
+        from duwamish_spark.functions import decode_media, frame_sample, synth_media
+
+        t0 = time.monotonic()
+        media = synth_media(docs)
+        n_feats = decode_media(media).count()
+        n_frames = frame_sample(media, every_k=2).count()
+        queries["media_pipeline"] = round(time.monotonic() - t0, 3)
+        extra["media"] = {"decoded": n_feats, "frames_sampled": n_frames}
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
