@@ -1,0 +1,112 @@
+"""Structured Streaming surface: incremental edge ingest + live graph stats.
+
+The BSP superstep loop is inherently batch-iterative (each superstep reads
+the previous one's full state — there is nothing to stream there, and the
+reference has no streaming surface at all; SURVEY.md §2.5). What IS
+streaming-shaped at 10^12-file scale is the *front* of the pipeline: new
+commits land continuously, and the engine should keep the edge table and
+its summary statistics current without re-scanning the corpus. That is
+what this module provides:
+
+- :func:`stream_corpus` — `readStream` over the corpus table directory
+  (new parquet files = new commits).
+- :func:`stream_extract_edges` — the SAME vectorized Arrow parser as the
+  batch path (`parse.extract_edges` is a pure DataFrame transform, so it
+  composes with a streaming DataFrame unchanged) writing an append-only
+  edge table. Graph algorithms then run batch supersteps over the current
+  snapshot of that table.
+- :func:`streaming_degree_counts` — continuously-maintained in/out-degree
+  (stateful aggregation, update mode): the hub-detection input for salting
+  decisions.
+- :func:`streaming_edge_rates` — per-window edge-arrival rates with a
+  watermark for late data.
+
+All of it is plain `readStream → transform → writeStream`; state lives in
+the streaming state store, checkpointed to `checkpoint_dir` exactly like
+the Pregel loop checkpoints vertex state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duwamish_spark.parse import extract_edges
+from duwamish_spark.sources import CORPUS_COLUMNS
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def stream_corpus(spark: SparkSession, location: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming read of the corpus directory (each new parquet file is a
+    micro-batch of newly-landed commits)."""
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(location)
+    return df.select(*CORPUS_COLUMNS)
+
+
+def stream_extract_edges(corpus_stream: DataFrame) -> DataFrame:
+    """The batch parser applied to a streaming corpus — identical kernel,
+    append-only output (stateless transform: safe in append mode)."""
+    return extract_edges(corpus_stream)
+
+
+def streaming_degree_counts(edges_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained degree table ``(id, out_degree, in_degree)``.
+
+    Stateful streaming aggregation — emit with ``outputMode("update")`` or
+    ``"complete"``. At scale this is the live hub-detection feed for the
+    salting decision (pregel.combine_messages salt path).
+    """
+    ends = edges_stream.select(
+        F.col("src").alias("id"), F.lit(1).alias("out"), F.lit(0).alias("in")
+    ).unionAll(
+        edges_stream.select(
+            F.col("dst").alias("id"), F.lit(0).alias("out"), F.lit(1).alias("in")
+        )
+    )
+    return ends.groupBy("id").agg(
+        F.sum("out").alias("out_degree"), F.sum("in").alias("in_degree")
+    )
+
+
+def streaming_edge_rates(
+    edges_stream: DataFrame,
+    event_time_col: str = "event_time",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Edge-arrival counts per event-time window with late-data watermark.
+
+    The input stream must carry an ``event_time`` timestamp column (at
+    deploy time: the commit timestamp).
+    """
+    return (
+        edges_stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(F.col(event_time_col), window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .select(F.col("w.start").alias("window_start"), "n_edges")
+    )
+
+
+def run_to_table(
+    stream: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Drain all currently-available input into an in-memory sink (tests /
+    local ops). At deploy time the sink is a parquet/Iceberg table — same
+    writeStream call with ``format('parquet').option('path', ...)``."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
