@@ -86,14 +86,22 @@ def main() -> None:
     n_edges = edges.count()
 
     t0 = time.monotonic()
-    verts = vertices_from(None, edges).persist()
+    verts_raw = vertices_from(None, edges)
+    # encode string ids to dense longs ONCE and share across all algorithms
+    # (a real deployment amortizes the dictionary the same way)
+    from duwamish_spark.graph import prepare_encoding
+
+    _mapping, verts, edges = prepare_encoding(spark, verts_raw, edges, cpus)
+    verts = verts.persist()
+    edges = edges.persist()
     n_verts = verts.count()
+    edges.count()
     queries["build_vertices"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
     pr = pagerank(
         spark, verts, edges, tol=1e-6, max_supersteps=200, num_partitions=cpus,
-        halt_interval=4,
+        halt_interval=4, encode=False,
     )
     pr.state.count()
     pr_sec = time.monotonic() - t0
@@ -109,13 +117,13 @@ def main() -> None:
     }
 
     t0 = time.monotonic()
-    cc = connected_components(spark, verts, edges, num_partitions=cpus)
+    cc = connected_components(spark, verts, edges, num_partitions=cpus, encode=False)
     n_comp = cc.state.agg(F.countDistinct("label")).collect()[0][0]
     queries["connected_components"] = round(time.monotonic() - t0, 3)
     extra["cc"] = {"rounds": cc.supersteps, "components": n_comp}
 
     t0 = time.monotonic()
-    lp = label_propagation(spark, verts, edges, max_supersteps=5, num_partitions=cpus)
+    lp = label_propagation(spark, verts, edges, max_supersteps=5, num_partitions=cpus, encode=False)
     lp.state.count()
     queries["label_propagation_5"] = round(time.monotonic() - t0, 3)
 

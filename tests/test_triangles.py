@@ -41,3 +41,15 @@ def test_per_vertex_sums_to_3x_total(spark):
     df = edges_df(spark, edges)
     per_v = triangle_count_per_vertex(df, vertices_df(spark, ids)).collect()
     assert sum(r["triangles"] for r in per_v) == 3 * triangle_count(df)
+
+
+def test_degree_ordered_equals_id_ordered(spark):
+    from oracle import rand_graph
+
+    from duwamish_spark.algorithms.triangles import triangle_count
+
+    _, edges = rand_graph(120, 8, 17)
+    e = edges_df(spark, edges)
+    assert triangle_count(e, degree_ordered=True) == triangle_count(
+        e, degree_ordered=False
+    )
