@@ -1,5 +1,8 @@
 from duwamish_spark.algorithms.pagerank import pagerank, pagerank_step
-from duwamish_spark.algorithms.components import connected_components
+from duwamish_spark.algorithms.components import (
+    connected_components,
+    connected_components_alternating,
+)
 from duwamish_spark.algorithms.labelprop import label_propagation
 from duwamish_spark.algorithms.triangles import triangle_count, triangle_count_per_vertex
 from duwamish_spark.algorithms.sssp import shortest_paths
@@ -10,6 +13,7 @@ __all__ = [
     "pagerank",
     "pagerank_step",
     "connected_components",
+    "connected_components_alternating",
     "label_propagation",
     "triangle_count",
     "triangle_count_per_vertex",

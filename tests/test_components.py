@@ -52,3 +52,34 @@ def test_strategies_and_encoding_exact_equal(spark):
     b, _ = _run(spark, ids, edges, strategy="shuffle", encode=True)
     c, _ = _run(spark, ids, edges, strategy="broadcast", encode=True)
     assert a == b == c
+
+
+def test_alternating_equals_hashmin_random(spark):
+    from duwamish_spark.algorithms.components import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    ids, edges = rand_graph(200, 4, 23)
+    v, e = vertices_df(spark, ids), edges_df(spark, edges)
+    hm = {r["id"]: r["label"] for r in connected_components(spark, v, e).state.collect()}
+    alt = {
+        r["id"]: r["label"]
+        for r in connected_components_alternating(spark, v, e).state.collect()
+    }
+    assert alt == hm
+
+
+def test_alternating_logarithmic_on_path(spark):
+    # path 0-1-2-...-63: hash-min needs ~63 supersteps, alternating O(log n)
+    from duwamish_spark.algorithms.components import connected_components_alternating
+
+    n = 64
+    ids = [f"v{i:03d}" for i in range(n)]
+    edges = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    res = connected_components_alternating(
+        spark, vertices_df(spark, ids), edges_df(spark, edges)
+    )
+    labels = {r["id"]: r["label"] for r in res.state.collect()}
+    assert set(labels.values()) == {"v000"}
+    assert res.supersteps <= 12, f"took {res.supersteps} rounds"
