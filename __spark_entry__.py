@@ -117,6 +117,16 @@ def q_cc_converged(spark, sf_dir):
     return connected_components(spark, v, e).state
 
 
+def q_cc_alternating(spark, sf_dir):
+    # same exact output contract as cc_converged (label = component min),
+    # computed by the O(log n) large-star/small-star edge-rewriting
+    # algorithm instead of hash-min message passing
+    from duwamish_spark.algorithms import connected_components_alternating
+
+    v, e = _graph(spark, sf_dir)
+    return connected_components_alternating(spark, v, e).state
+
+
 def q_lp_round1(spark, sf_dir):
     from duwamish_spark.algorithms import label_propagation
 
@@ -372,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_sha256": q_content_sha256,
         "cc_round1": q_cc_round1,
         "cc_converged": q_cc_converged,
+        "cc_alternating": q_cc_alternating,
         "lp_round1": q_lp_round1,
         "lp_round3": q_lp_round3,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -526,6 +537,15 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN mins m ON m.id = v.id
         """,
         "cc_converged": f"""
+            WITH RECURSIVE {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
+            reach(id, r) AS (
+                SELECT id, id FROM v
+                UNION
+                SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+            )
+            SELECT id, min(r) AS label FROM reach GROUP BY id
+        """,
+        "cc_alternating": f"""
             WITH RECURSIVE {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
             reach(id, r) AS (
                 SELECT id, id FROM v
