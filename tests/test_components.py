@@ -83,3 +83,25 @@ def test_alternating_logarithmic_on_path(spark):
     labels = {r["id"]: r["label"] for r in res.state.collect()}
     assert set(labels.values()) == {"v000"}
     assert res.supersteps <= 12, f"took {res.supersteps} rounds"
+
+
+def test_alternating_edge_cases(spark):
+    from duwamish_spark.algorithms.components import connected_components_alternating
+
+    # no edges: every vertex is its own component
+    ids = ["a", "b", "c"]
+    res = connected_components_alternating(
+        spark, vertices_df(spark, ids), edges_df(spark, [])
+    )
+    assert {r["id"]: r["label"] for r in res.state.collect()} == {
+        "a": "a", "b": "b", "c": "c"
+    }
+    # self-loops and duplicate edges don't affect labels
+    res2 = connected_components_alternating(
+        spark,
+        vertices_df(spark, ids),
+        edges_df(spark, [("a", "a"), ("b", "c"), ("c", "b"), ("b", "c")]),
+    )
+    assert {r["id"]: r["label"] for r in res2.state.collect()} == {
+        "a": "a", "b": "b", "c": "b"
+    }
