@@ -348,6 +348,18 @@ def q_media_decode(spark, sf_dir):
     return feats.join(paysha, "media_id")
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    from duwamish_spark.functions import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from duwamish_spark.functions import embedding_near_dups
+
+    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.2)
+
+
 def q_minhash_near_dups(spark, sf_dir):
     # engine-only (deterministic but hash functions differ from DuckDB's):
     # rows-only check; semantics tested against a Python oracle in pytest
@@ -400,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "knn_cosine": q_knn_cosine,
         "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
         "media_decode": q_media_decode,
     }
 
@@ -619,6 +633,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY label, i
         """,
         "media_decode": _MEDIA_SQL,
+        "ngram_jaccard": """
+            WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                       FROM documents WHERE length(trim(text)) > 0),
+            idx AS (SELECT doc_id, arr,
+                           unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
+                    FROM d),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(arr[i:i+2], ' ') AS shingle
+                   FROM idx
+                   WHERE length(array_to_string(arr[i:i+2], ' ')) > 0),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                       FROM sh a JOIN sh b ON a.shingle = b.shingle
+                       WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+            FROM common
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
+        """,
+        "embedding_near_dups": """
+            WITH pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.embedding AS va, b.embedding AS vb
+                FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+            flat AS (SELECT id_a, id_b,
+                            unnest(va)::DOUBLE AS x, unnest(vb)::DOUBLE AS y FROM pairs),
+            d AS (SELECT id_a, id_b, sum(x * y) AS dot,
+                         sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+                  FROM flat GROUP BY id_a, id_b)
+            SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos_sim
+            FROM d WHERE dot / (na * nb) >= 0.2
+        """,
         "knn_cosine": """
             WITH pairs AS (
                 SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,

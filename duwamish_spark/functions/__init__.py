@@ -5,8 +5,19 @@ from duwamish_spark.functions.text import (
     doc_fingerprint,
     lang_marker_scores,
 )
-from duwamish_spark.functions.dedup import exact_dedup, minhash_signatures, minhash_near_dups, simhash64
-from duwamish_spark.functions.similarity import cosine_sim_col, knn_cosine, label_centroids
+from duwamish_spark.functions.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from duwamish_spark.functions.similarity import (
+    cosine_sim_col,
+    embedding_near_dups,
+    knn_cosine,
+    label_centroids,
+)
 from duwamish_spark.functions.multimodal import (
     synth_media,
     decode_media,
@@ -25,6 +36,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_near_dups",
     "simhash64",
+    "ngram_jaccard_pairs",
+    "embedding_near_dups",
     "cosine_sim_col",
     "knn_cosine",
     "label_centroids",

@@ -164,3 +164,54 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         f"(CASE WHEN b{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)" for i in range(64)
     )
     return agg.select("id", F.expr(bit_terms).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs: (id_a, id_b, jaccard).
+
+    Shingle-inverted-index self-join: pairs are generated only for docs
+    sharing at least one shingle (never the all-pairs cross product), then
+    |A ∩ B| is a count per pair and |A ∪ B| = |A| + |B| − |A ∩ B|. This is
+    the exact verifier for the MinHash approximation — at scale run it
+    only on MinHash candidate pairs; standalone it is quadratic in the
+    worst case (every doc sharing one hot shingle).
+
+    ``id_a < id_b``; jaccard rounded to 6 places for stable comparison.
+    """
+    from duwamish_spark.functions.text import tokens_col
+
+    toks = docs.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("t"))
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+            )
+        ).alias("shingle"),
+    ).where(F.length("shingle") > 0).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(j >= threshold)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )

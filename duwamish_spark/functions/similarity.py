@@ -132,3 +132,40 @@ def label_centroids(
     return ex.groupBy(label_col, "pos").agg(
         F.round(F.avg(F.col("x").cast("double")), 6).alias("v")
     )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim >= t).
+
+    ``n_planes=0``: exact all-pairs (the verifier / small-N path).
+    ``n_planes>0``: LSH-bucketed — random-hyperplane signatures prune the
+    pair space first (same bucket => candidate), then exact cosine on
+    candidates only; at 100 TB only the bucket join shuffles.
+    ``id_a < id_b``; cos_sim rounded to 6 places.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if n_planes:
+        ba = lsh_buckets(emb, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+        bb = ba.select(F.col("id").alias("id_b"), F.col("bucket").alias("bucket_b"))
+        cand = (
+            ba.select(F.col("id").alias("id_a"), "bucket")
+            .join(bb, F.col("bucket") == F.col("bucket_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_sim_col(F.col("va"), F.col("vb"))
+    return pairs.where(sim >= threshold).select(
+        "id_a", "id_b", F.round(sim, 6).alias("cos_sim")
+    )

@@ -83,3 +83,46 @@ def test_knn_lsh_finds_exact_twin(spark):
         for r in knn_cosine_lsh(emb, k=1, n_planes=6, dim=16).collect()
     }
     assert approx.get(3) == 7 and approx.get(7) == 3
+
+
+def test_ngram_jaccard_exact(spark):
+    from duwamish_spark.functions import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the dog"),
+            ("b", "the quick brown fox jumps over the cat"),
+            ("c", "completely different words entirely here now"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()
+    }
+    # a: 6 shingles, b: 6 shingles, 5 common -> j = 5/7
+    assert set(got) == {("a", "b")}
+    assert got[("a", "b")] == pytest.approx(5 / 7, abs=1e-6)
+
+
+def test_embedding_near_dups_exact_vs_lsh(spark):
+    import numpy as np
+
+    from duwamish_spark.functions import embedding_near_dups
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(64)
+    rows = [
+        ("v0", [float(x) for x in base]),
+        ("v1", [float(x) for x in base + 0.01 * rng.standard_normal(64)]),
+        ("v2", [float(x) for x in rng.standard_normal(64)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(emb, threshold=0.9).collect()}
+    assert exact == {("v0", "v1")}
+    # LSH candidates are a superset filter: near-identical vectors share buckets
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, threshold=0.9, n_planes=4).collect()
+    }
+    assert lsh == exact
