@@ -121,7 +121,7 @@ def pagerank(
     run_id: str = "pagerank",
     reliable_interval: int = 10,
     num_partitions: int | None = None,
-    salt: int = 0,
+    salt: int | str = 0,
     halt_interval: int = 1,
     strategy: str = "auto",
     combine: str = "partial",
@@ -141,6 +141,14 @@ def pagerank(
     use_broadcast = strategy == "broadcast" or (
         strategy == "auto" and n_verts <= broadcast_max_vertices
     )
+
+    if salt == "auto":
+        from duwamish_spark.graph import suggest_salt
+
+        p = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        salt = suggest_salt(e, p)
 
     edges_w = _edges_weighted(
         verts, e, num_partitions, "dst" if use_broadcast else "src"

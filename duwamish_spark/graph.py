@@ -176,3 +176,38 @@ def canonical_edges(edges: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def suggest_salt(
+    edges: DataFrame,
+    num_partitions: int,
+    dst_col: str = "dst",
+    factor: int = 2,
+    cap: int = 64,
+) -> int:
+    """Pick a destination-salt factor from measured in-degree skew.
+
+    A reducer partition averages E/P messages; a destination whose
+    in-degree exceeds ``factor`` times that average dominates its reducer
+    (the straggler), so spread it over ~4x ceil(max_in_degree / (E/P))
+    sub-keys (capped — beyond ~64 the second-stage merge cost outweighs
+    the balance gain; the Zipf(1.3) hub graph in BENCH/skew.json measured
+    1.56x at salt 32 under exactly this rule). Returns 0 (no salting) for
+    balanced graphs. The decision is one E-row aggregation, run once per
+    graph, and is exactly the statistic the streaming degree feed
+    (streaming.streaming_degree_counts) maintains continuously.
+    """
+    import math
+
+    row = (
+        edges.groupBy(dst_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .collect()[0]
+    )
+    if not row["tot"]:
+        return 0
+    per_part = max(1, row["tot"] // max(num_partitions, 1))
+    if row["mx"] > factor * per_part:
+        return min(cap, 4 * math.ceil(row["mx"] / per_part))
+    return 0

@@ -106,3 +106,28 @@ def test_raw_combine_equals_partial(spark):
     for v in ids:
         assert raw[v] == pytest.approx(partial[v], abs=1e-9)
         assert raw_salted[v] == pytest.approx(partial[v], abs=1e-9)
+
+
+def test_auto_salt_decision(spark):
+    from pyspark.sql import functions as F
+
+    from duwamish_spark.graph import suggest_salt
+
+    # balanced: uniform dsts -> no salt
+    balanced = spark.range(1000).select(
+        (F.col("id") % 100).alias("src"), ((F.col("id") * 7) % 100).alias("dst")
+    )
+    assert suggest_salt(balanced, 8) == 0
+    # hub: 90% of edges hit one dst -> salt > 1, capped
+    hub = spark.range(1000).select(
+        (F.col("id") % 100).alias("src"),
+        F.when(F.col("id") % 10 != 0, F.lit(42)).otherwise(F.col("id") % 100).alias("dst"),
+    )
+    s = suggest_salt(hub, 8)
+    assert 1 < s <= 64
+    # auto-salted pagerank equals unsalted
+    ids, edges = rand_graph(120, 8, 31)
+    plain, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=6, strategy="shuffle")
+    auto, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=6, strategy="shuffle", salt="auto")
+    for v in ids:
+        assert auto[v] == pytest.approx(plain[v], abs=1e-9)
