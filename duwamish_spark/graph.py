@@ -191,8 +191,9 @@ def suggest_salt(
     in-degree exceeds ``factor`` times that average dominates its reducer
     (the straggler), so spread it over ~4x ceil(max_in_degree / (E/P))
     sub-keys (capped — beyond ~64 the second-stage merge cost outweighs
-    the balance gain; the Zipf(1.3) hub graph in BENCH/skew.json measured
-    1.56x at salt 32 under exactly this rule). Returns 0 (no salting) for
+    the balance gain). On the Zipf(1.3) hub graph this rule picks 12
+    (measured 1.23x over unsalted; hand-tuned 32 reached 1.43x — the rule
+    is deliberately conservative, BENCH/skew.json). Returns 0 (no salting) for
     balanced graphs. The decision is one E-row aggregation, run once per
     graph, and is exactly the statistic the streaming degree feed
     (streaming.streaming_degree_counts) maintains continuously.
