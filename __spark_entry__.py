@@ -177,6 +177,36 @@ def q_sssp_round3(spark, sf_dir):
     )
 
 
+def q_recommend_mse(spark, sf_dir):
+    """SGD matrix factorization (the reference's third example program,
+    example/Recommendations.java) on a customer x part rating graph from
+    lineitem. No SQL oracle (iterative SGD); driver records rows-only —
+    semantics are pinned by the NumPy oracle in tests/test_recommend.py."""
+    from duwamish_spark.algorithms import recommendations
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ratings = (
+        li.where((F.col("l_orderkey") % 50 == 0))
+        .select(
+            F.concat(F.lit("u"), (F.col("l_orderkey") % 97).cast("string")).alias("user_id"),
+            F.concat(F.lit("m"), (F.col("l_partkey") % 31).cast("string")).alias("movie_id"),
+            (F.col("l_quantity") % 5 + 1).cast("double").alias("rating"),
+        )
+        .groupBy("user_id", "movie_id")
+        .agg(F.first("rating").alias("rating"))
+        .withColumn(
+            "rating_id",
+            F.concat(F.lit("r:"), F.col("user_id"), F.lit(":"), F.col("movie_id")),
+        )
+    )
+    res = recommendations(
+        spark, ratings, n_features=2, runs_per_feature=3
+    )
+    return res.state.where(F.col("kind") == "rating").select(
+        "id", F.round("residue", 4).alias("residue")
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     from duwamish_spark.algorithms.triangles import _wedges
     from duwamish_spark.graph import canonical_edges
@@ -404,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
+        "recommend_mse": q_recommend_mse,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
