@@ -128,8 +128,16 @@ def pagerank(
     encode: bool = True,
     broadcast_max_vertices: int = 5_000_000,
     resume: bool = False,
+    initial_ranks: DataFrame | None = None,
 ) -> PregelResult:
-    """Run PageRank to L1-residual convergence. Result state: (id, rank)."""
+    """Run PageRank to L1-residual convergence. Result state: (id, rank).
+
+    ``initial_ranks`` (id, rank): warm start — seed from a previous
+    converged run instead of 1.0 everywhere. When the corpus grows
+    incrementally (new commits -> new files/edges), re-converging from the
+    previous ranks takes a fraction of the supersteps of a cold start:
+    vertices absent from the seed (new files) start at 1.0.
+    """
     mapping = None
     verts, e = vertices, edges
     if encode:
@@ -155,7 +163,18 @@ def pagerank(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     edges_w.count()  # materialize once; reused every superstep
 
-    init = verts.select("id", F.lit(1.0).alias("rank"))
+    if initial_ranks is not None:
+        seed = initial_ranks.select("id", F.col("rank").alias("_seed"))
+        if mapping is not None:
+            m_enc = mapping.select(F.col("id"), F.col("vid"))
+            seed = seed.join(m_enc, "id").select(
+                F.col("vid").alias("id"), F.col("_seed")
+            )
+        init = verts.join(seed, "id", "left").select(
+            "id", F.coalesce("_seed", F.lit(1.0)).alias("rank")
+        )
+    else:
+        init = verts.select("id", F.lit(1.0).alias("rank"))
     if num_partitions:
         init = init.repartition(num_partitions, "id")
 

@@ -131,3 +131,20 @@ def test_auto_salt_decision(spark):
     auto, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=6, strategy="shuffle", salt="auto")
     for v in ids:
         assert auto[v] == pytest.approx(plain[v], abs=1e-9)
+
+
+def test_warm_start_converges_faster_and_equal(spark):
+    # converge a graph; grow it with a few extra edges; warm-starting from
+    # the previous ranks must (a) reach the same fixpoint as a cold start
+    # and (b) take fewer supersteps
+    ids, edges = rand_graph(300, 8, 41)
+    _, first = _run(spark, ids, edges, tol=1e-8)
+    grown = edges + [(ids[1], ids[5]), (ids[7], ids[2]), (ids[0], ids[9])]
+    cold, cold_res = _run(spark, ids, grown, tol=1e-8)
+    warm, warm_res = _run(
+        spark, ids, grown, tol=1e-8, initial_ranks=first.state
+    )
+    assert warm_res.halted and cold_res.halted
+    assert warm_res.supersteps < cold_res.supersteps
+    for v in ids:
+        assert warm[v] == pytest.approx(cold[v], abs=1e-6)
