@@ -208,6 +208,10 @@ def connected_components(
         "component_min": F.min("label"),
     }
     if use_broadcast:
+        # same quadratic-chaining hazard as pagerank's broadcast strategy:
+        # each lazy chained step re-executes the upstream chain in its
+        # broadcast build
+        halt_interval = min(halt_interval, 4)
         step = lambda st, s: _cc_step_broadcast(st, edges_sym)  # noqa: E731
     else:
         step = lambda st, s: _cc_step(st, edges_sym, salt)  # noqa: E731

@@ -110,6 +110,8 @@ def label_propagation(
         "distinct_labels": F.approx_count_distinct("label"),
     }
     if use_broadcast:
+        # same quadratic-chaining hazard as pagerank's broadcast strategy
+        halt_interval = min(halt_interval, 4)
         step = lambda st, s: _lp_step_broadcast(st, edges_sym)  # noqa: E731
     else:
         step = lambda st, s: _lp_step(st, edges_sym)  # noqa: E731

@@ -138,6 +138,11 @@ def pagerank(
     previous ranks takes a fraction of the supersteps of a cold start:
     vertices absent from the seed (new files) start at 1.0.
     """
+    from duwamish_spark.graph import require_columns
+
+    require_columns(vertices, ("id",), "vertices")
+    require_columns(edges, ("src", "dst"), "edges")
+
     mapping = None
     verts, e = vertices, edges
     if encode:

@@ -70,6 +70,10 @@ def shortest_paths(
     ``weighted_edges``: (src, dst, weight) — weight numeric (the reference
     uses int edge values, examples.proto:7-9).
     """
+    from duwamish_spark.graph import require_columns
+
+    require_columns(vertices, ("id",), "vertices")
+    require_columns(weighted_edges, ("src", "dst", "weight"), "weighted_edges")
     edges = weighted_edges.select("src", "dst", "weight")
     if num_partitions:
         edges = edges.repartition(num_partitions, "src")

@@ -212,3 +212,12 @@ def suggest_salt(
     if row["mx"] > factor * per_part:
         return min(cap, 4 * math.ceil(row["mx"] / per_part))
     return 0
+
+
+def require_columns(df: DataFrame, cols: tuple[str, ...], what: str) -> None:
+    """Fail fast with a readable message instead of a deep Catalyst error."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{what} is missing column(s) {missing}; found {list(df.columns)}"
+        )

@@ -89,3 +89,18 @@ def test_resume_skips_completed_run(spark, graph, tmp_path):
     a = {r["id"]: r["rank"] for r in done.state.collect()}
     b = {r["id"]: r["rank"] for r in again.state.collect()}
     assert a == b
+
+
+def test_input_validation_messages(spark):
+    import pytest as _pytest
+
+    from duwamish_spark.algorithms import pagerank
+
+    bad_edges = spark.createDataFrame([("a", "b")], "x string, y string")
+    verts = spark.createDataFrame([("a",)], "id string")
+    with _pytest.raises(ValueError, match="edges is missing column"):
+        pagerank(spark, verts, bad_edges)
+    bad_verts = spark.createDataFrame([("a",)], "vertex string")
+    good_edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError, match="vertices is missing column"):
+        pagerank(spark, bad_verts, good_edges)
