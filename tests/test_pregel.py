@@ -104,3 +104,52 @@ def test_input_validation_messages(spark):
     good_edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError, match="vertices is missing column"):
         pagerank(spark, bad_verts, good_edges)
+
+
+def test_custom_vertex_program_max_flood(spark):
+    """A user-written program through the public Pregel API — the
+    reference's entire query surface is user vertex programs
+    (model/Vertex.java:23-24) and this is the Spark-shaped equivalent:
+    flood the maximum initial value across a connected graph."""
+    from pyspark.sql import functions as F
+
+    from duwamish_spark.pregel import Pregel, combine_messages
+
+    n = 10
+    ids = [f"v{i}" for i in range(n)]
+    vals = {v: (i * 37) % n for i, v in enumerate(ids)}
+    edges = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    e = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src string, dst string"
+    ).persist()
+    init = spark.createDataFrame(
+        [(v, float(vals[v]), 1, 0) for v in ids],
+        "id string, val double, _changed int, _msgs int",
+    )
+
+    def step(state, s):
+        frontier = state.where(F.col("_changed") == 1)
+        msgs = frontier.join(e, frontier["id"] == e["src"]).select(
+            "dst", F.col("val").alias("m")
+        )
+        best = combine_messages(
+            msgs, [("mmax", "m", "max"), ("mcnt", "m", "count")], key="dst"
+        ).withColumnRenamed("dst", "id")
+        new_val = F.greatest("val", F.coalesce("mmax", "val"))
+        return state.join(best, "id", "left").select(
+            "id",
+            new_val.alias("val"),
+            F.when(new_val != F.col("val"), 1).otherwise(0).alias("_changed"),
+            F.coalesce("mcnt", F.lit(0)).alias("_msgs"),
+        )
+
+    res = Pregel(
+        spark,
+        step=step,
+        metrics_exprs={"changed": F.sum("_changed"), "vmax": F.max("val")},
+        halt=lambda m, s: (m["changed"] or 0) == 0,
+        max_supersteps=50,
+    ).run(init)
+    got = {r["id"]: r["val"] for r in res.state.collect()}
+    assert set(got.values()) == {float(max(vals.values()))}
+    assert res.halted and res.supersteps <= n + 1
