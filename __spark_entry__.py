@@ -93,13 +93,36 @@ def q_pagerank_fixed10(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+# Convergence (first superstep with L1 residual < 1e-6) on the derived
+# sf0.01 graph takes exactly this many supersteps — deterministic: the
+# residual decays geometrically (~0.85/step), so the crossing step is far
+# from fp-noise. The chained-CTE oracle replays the same arithmetic for
+# exactly that many steps; the mirror test (tests/test_entry_contract.py)
+# fails loudly if this constant ever drifts from the engine's halt point.
+PAGERANK_CONVERGED_STEPS_SF001 = 9
+
+
 def q_pagerank_converged(spark, sf_dir):
-    # full convergence — no closed-form SQL oracle; pytest's NumPy oracle
-    # covers the semantics, driver records a rows-only check
     from duwamish_spark.algorithms import pagerank
 
     v, e = _graph(spark, sf_dir)
     res = pagerank(spark, v, e, tol=1e-6, max_supersteps=200)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_fixed10_shuffle(spark, sf_dir):
+    """Same contract as pagerank_fixed10 but FORCING the 10^12-scale code
+    path the auto strategy never picks at V=599: shuffle strategy, salted
+    two-stage combine, raw pre-shuffle exchange, chained supersteps
+    (halt_interval=5). Oracle-gates the scale path itself, not just the
+    broadcast path."""
+    from duwamish_spark.algorithms import pagerank
+
+    v, e = _graph(spark, sf_dir)
+    res = pagerank(
+        spark, v, e, tol=0.0, max_supersteps=10,
+        strategy="shuffle", salt=4, combine="raw", halt_interval=5,
+    )
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -119,6 +142,26 @@ def q_cc_converged(spark, sf_dir):
 
     v, e = _graph(spark, sf_dir)
     return connected_components(spark, v, e).state
+
+
+def q_cc_converged_shuffle(spark, sf_dir):
+    """cc_converged through the forced shuffle strategy + salted combine —
+    the code path a 10^12-vertex graph takes (auto picks broadcast at
+    V=599), oracle-gated against the same recursive-CTE oracle."""
+    from duwamish_spark.algorithms import connected_components
+
+    v, e = _graph(spark, sf_dir)
+    return connected_components(spark, v, e, strategy="shuffle", salt=4).state
+
+
+def q_cc_auto_algorithm(spark, sf_dir):
+    """connected_components(algorithm="auto") — the round-budget switch
+    between hash-min (O(diameter)) and alternating star (O(log n)); same
+    exact output contract, so the same recursive-CTE oracle applies."""
+    from duwamish_spark.algorithms import connected_components
+
+    v, e = _graph(spark, sf_dir)
+    return connected_components(spark, v, e, algorithm="auto").state
 
 
 def q_cc_alternating(spark, sf_dir):
@@ -177,15 +220,11 @@ def q_sssp_round3(spark, sf_dir):
     )
 
 
-def q_recommend_mse(spark, sf_dir):
-    """SGD matrix factorization (the reference's third example program,
-    example/Recommendations.java) on a customer x part rating graph from
-    lineitem. No SQL oracle (iterative SGD); driver records rows-only —
-    semantics are pinned by the NumPy oracle in tests/test_recommend.py."""
-    from duwamish_spark.algorithms import recommendations
-
+def _ratings(spark, sf_dir):
+    """Deterministic customer x part rating relation from lineitem (min
+    rating per pair so BOTH engines derive the identical relation)."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    ratings = (
+    return (
         li.where((F.col("l_orderkey") % 50 == 0))
         .select(
             F.concat(F.lit("u"), (F.col("l_orderkey") % 97).cast("string")).alias("user_id"),
@@ -193,17 +232,30 @@ def q_recommend_mse(spark, sf_dir):
             (F.col("l_quantity") % 5 + 1).cast("double").alias("rating"),
         )
         .groupBy("user_id", "movie_id")
-        .agg(F.first("rating").alias("rating"))
+        .agg(F.min("rating").alias("rating"))
         .withColumn(
             "rating_id",
             F.concat(F.lit("r:"), F.col("user_id"), F.lit(":"), F.col("movie_id")),
         )
     )
+
+
+def q_recommend_round4(spark, sf_dir):
+    """SGD matrix factorization (the reference's third example program,
+    example/Recommendations.java) run for a FIXED 4 supersteps (feature →
+    rating → feature → rating) — deterministic arithmetic with an exact
+    closed-form oracle: after the first full cycle every feature vertex's
+    component 0 is clamp(1 + lr * Σ (rating - 1)) since uval = mval = 1.0
+    in the first rating round. The full-schedule run (iterative SGD, no
+    SQL form) stays pinned by the NumPy oracle in tests/test_recommend.py."""
+    from duwamish_spark.algorithms import recommendations
+
     res = recommendations(
-        spark, ratings, n_features=2, runs_per_feature=3
+        spark, _ratings(spark, sf_dir), n_features=2, runs_per_feature=3,
+        max_supersteps=4,
     )
-    return res.state.where(F.col("kind") == "rating").select(
-        "id", F.round("residue", 4).alias("residue")
+    return res.state.where(F.col("kind") != "rating").select(
+        "id", "kind", F.round(F.element_at("fvec", 1), 6).alias("f0")
     )
 
 
@@ -391,11 +443,19 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    # engine-only (deterministic but hash functions differ from DuckDB's):
-    # rows-only check; semantics tested against a Python oracle in pytest
+    """MinHash+LSH near-dup pipeline at a recall-1 configuration (64
+    bands x 1 row): a true pair at jaccard j is missed with probability
+    (1-j)^64 ≤ 6e-7 at j = 0.2, and the exact-Jaccard verify stage drops
+    every false candidate — so the output EQUALS the exact n-gram Jaccard
+    relation and shares its SQL oracle (verified: 25/25 pairs at sf0.01).
+    Production configs trade recall for fewer bands; this config makes the
+    whole shingle→signature→band→verify pipeline oracle-gated."""
     from duwamish_spark.functions import minhash_near_dups
 
-    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.2)
+    out = minhash_near_dups(
+        _docs(spark, sf_dir), k=3, n_hashes=64, bands=64, threshold=0.2
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -423,18 +483,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_out_degree": q_out_degree,
         "pagerank_step1": q_pagerank_step1,
         "pagerank_fixed10": q_pagerank_fixed10,
+        "pagerank_fixed10_shuffle": q_pagerank_fixed10_shuffle,
         "pagerank_converged": q_pagerank_converged,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
         "cc_round1": q_cc_round1,
         "cc_converged": q_cc_converged,
+        "cc_converged_shuffle": q_cc_converged_shuffle,
+        "cc_auto_algorithm": q_cc_auto_algorithm,
         "cc_alternating": q_cc_alternating,
         "lp_round1": q_lp_round1,
         "lp_round3": q_lp_round3,
         "triangles_per_vertex": q_triangles_per_vertex,
         "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
-        "recommend_mse": q_recommend_mse,
+        "recommend_round4": q_recommend_round4,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
@@ -503,6 +566,34 @@ def _pagerank_chain_sql(steps: int) -> str:
 
 
 
+_PARSE_EDGES_SQL_TEMPLATE = r"""
+    WITH c AS (SELECT repo, path, lang, content
+               FROM read_parquet('{path}')),
+    l AS (SELECT repo, path, lang,
+                 unnest(string_split(content, chr(10))) AS line
+          FROM c),
+    hits AS (
+        SELECT repo || '/' || path AS src,
+               CASE lang
+                 WHEN 'python' THEN
+                   repo || '/' || replace(regexp_extract(line, '^(?:import|from)\s+([\w.]+)', 1), '.', '/') || '.py'
+                 WHEN 'java' THEN
+                   repo || '/' || replace(regexp_extract(line, '^import\s+([\w.]+)\s*;', 1), '.', '/') || '.java'
+                 WHEN 'c' THEN
+                   repo || '/' || regexp_extract(line, '^#include\s+"([^"]+)"', 1)
+                 WHEN 'go' THEN
+                   regexp_extract(line, '^import\s+"([^"]+)"', 1) || '.go'
+               END AS dst,
+               CASE lang
+                 WHEN 'python' THEN regexp_matches(line, '^(?:import|from)\s+[\w.]+')
+                 WHEN 'java' THEN regexp_matches(line, '^import\s+[\w.]+\s*;')
+                 WHEN 'c' THEN regexp_matches(line, '^#include\s+"[^"]+"')
+                 WHEN 'go' THEN regexp_matches(line, '^import\s+"[^"]+"')
+               END AS ok
+        FROM l)
+    SELECT src, dst, count(*) AS n FROM hits WHERE ok GROUP BY src, dst
+"""
+
 _MEDIA_SQL_TEMPLATE = """
     SELECT media_id, kind,
            octet_length(payload) AS n_bytes,
@@ -511,6 +602,67 @@ _MEDIA_SQL_TEMPLATE = """
            lower(sha256(hex(payload))) AS payload_sha
     FROM read_parquet('{path}')
 """
+
+_CC_REACH_SQL = f"""
+    WITH RECURSIVE {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
+    reach(id, r) AS (
+        SELECT id, id FROM v
+        UNION
+        SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    )
+    SELECT id, min(r) AS label FROM reach GROUP BY id
+"""
+
+_NGRAM_JACCARD_SQL = r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+               FROM documents WHERE length(trim(text)) > 0),
+    idx AS (SELECT doc_id, arr,
+                   unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
+            FROM d),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(arr[i:i+2], ' ') AS shingle
+           FROM idx
+           WHERE length(array_to_string(arr[i:i+2], ' ')) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.shingle = b.shingle
+               WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
+"""
+
+# After supersteps 0-3 (feature -> rating -> feature -> rating) every
+# feature vertex's component 0 is clamp(1 + lr * sum(rating - 1)): the
+# first rating round sees uval = mval = 1.0 so err = lr*(rating-1), the
+# second feature round applies the summed gradient once, and the final
+# rating round does not touch fvec. See q_recommend_round4.
+_RECOMMEND_ROUND4_SQL = """
+    WITH ratings AS (
+        SELECT 'u' || CAST(l_orderkey % 97 AS VARCHAR) AS user_id,
+               'm' || CAST(l_partkey % 31 AS VARCHAR) AS movie_id,
+               min(CAST(l_quantity % 5 + 1 AS DOUBLE)) AS rating
+        FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY 1, 2),
+    g AS (
+        SELECT user_id AS id, 'user' AS kind,
+               sum(0.001 * (rating - 1.0)) AS gsum
+        FROM ratings GROUP BY 1
+        UNION ALL
+        SELECT movie_id, 'movie', sum(0.001 * (rating - 1.0))
+        FROM ratings GROUP BY 1)
+    SELECT id, kind,
+           round(least(10.0, greatest(-10.0, 1.0 + gsum)), 6) AS f0
+    FROM g
+"""
+
+# the driver's correctness gate runs at this SF; the media/corpus oracle
+# caches are parquet files both engines read, so their paths must resolve
+# at oracle-construction time — overridable for local runs at other SFs
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
 
 def oracle_sql() -> dict[str, str]:
     tok_cte = (
@@ -530,42 +682,29 @@ def oracle_sql() -> dict[str, str]:
         )
         + " END"
     )
-    corpus_file = _ensure_entry_corpus()
-    _MEDIA_SQL = _MEDIA_SQL_TEMPLATE.format(
-        path=_media_parquet("/root/testdata/sf0.01")
-    )
-    return {
-        "parse_edges": f"""
-            WITH c AS (SELECT repo, path, lang, content
-                       FROM read_parquet('{corpus_file}')),
-            l AS (SELECT repo, path, lang,
-                         unnest(string_split(content, chr(10))) AS line
-                  FROM c),
-            hits AS (
-                SELECT repo || '/' || path AS src,
-                       CASE lang
-                         WHEN 'python' THEN
-                           repo || '/' || replace(regexp_extract(line, '^(?:import|from)\\s+([\\w.]+)', 1), '.', '/') || '.py'
-                         WHEN 'java' THEN
-                           repo || '/' || replace(regexp_extract(line, '^import\\s+([\\w.]+)\\s*;', 1), '.', '/') || '.java'
-                         WHEN 'c' THEN
-                           repo || '/' || regexp_extract(line, '^#include\\s+"([^"]+)"', 1)
-                         WHEN 'go' THEN
-                           regexp_extract(line, '^import\\s+"([^"]+)"', 1) || '.go'
-                       END AS dst,
-                       CASE lang
-                         WHEN 'python' THEN regexp_matches(line, '^(?:import|from)\\s+[\\w.]+')
-                         WHEN 'java' THEN regexp_matches(line, '^import\\s+[\\w.]+\\s*;')
-                         WHEN 'c' THEN regexp_matches(line, '^#include\\s+"[^"]+"')
-                         WHEN 'go' THEN regexp_matches(line, '^import\\s+"[^"]+"')
-                       END AS ok
-                FROM l)
-            SELECT src, dst, count(*) AS n FROM hits WHERE ok GROUP BY src, dst
-        """,
-        "content_sha256": f"""
+    # Guarded construction (no hard failure, no surprise side effects at
+    # other SFs): if the shared parquet caches cannot be built — e.g. the
+    # gate SF's documents table is absent — the affected entries are
+    # OMITTED (the driver then records a rows-only check for them) instead
+    # of poisoning every other oracle with an exception.
+    out: dict[str, str] = {}
+    try:
+        corpus_file = _ensure_entry_corpus()
+        out["parse_edges"] = _PARSE_EDGES_SQL_TEMPLATE.format(path=corpus_file)
+        out["content_sha256"] = f"""
             SELECT repo, path, sha256(content) AS sha256
             FROM read_parquet('{corpus_file}')
-        """,
+        """
+    except OSError:
+        pass
+    try:
+        if os.path.exists(os.path.join(_ORACLE_SF_DIR, "documents.parquet")):
+            out["media_decode"] = _MEDIA_SQL_TEMPLATE.format(
+                path=_media_parquet(_ORACLE_SF_DIR)
+            )
+    except OSError:
+        pass
+    out.update({
         "graph_out_degree": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE}
             SELECT v.id AS id, count(e.src) AS out_degree
@@ -579,30 +718,19 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN s ON s.id = v.id
         """,
         "pagerank_fixed10": _pagerank_chain_sql(10),
+        "pagerank_fixed10_shuffle": _pagerank_chain_sql(10),
+        "pagerank_converged": _pagerank_chain_sql(PAGERANK_CONVERGED_STEPS_SF001),
         "cc_round1": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
             mins AS (SELECT dst AS id, min(src) AS mn FROM sym GROUP BY dst)
             SELECT v.id AS id, least(v.id, coalesce(m.mn, v.id)) AS label
             FROM v LEFT JOIN mins m ON m.id = v.id
         """,
-        "cc_converged": f"""
-            WITH RECURSIVE {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
-            reach(id, r) AS (
-                SELECT id, id FROM v
-                UNION
-                SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
-            )
-            SELECT id, min(r) AS label FROM reach GROUP BY id
-        """,
-        "cc_alternating": f"""
-            WITH RECURSIVE {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
-            reach(id, r) AS (
-                SELECT id, id FROM v
-                UNION
-                SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
-            )
-            SELECT id, min(r) AS label FROM reach GROUP BY id
-        """,
+        "cc_converged": _CC_REACH_SQL,
+        "cc_converged_shuffle": _CC_REACH_SQL,
+        "cc_auto_algorithm": _CC_REACH_SQL,
+        "cc_alternating": _CC_REACH_SQL,
+        "recommend_round4": _RECOMMEND_ROUND4_SQL,
         "lp_round1": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
             cnt AS (SELECT dst AS id, src AS m, count(*) AS c FROM sym GROUP BY dst, src),
@@ -663,28 +791,8 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, generate_series(0, 63) t(i)
             GROUP BY label, i
         """,
-        "media_decode": _MEDIA_SQL,
-        "ngram_jaccard": """
-            WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-                       FROM documents WHERE length(trim(text)) > 0),
-            idx AS (SELECT doc_id, arr,
-                           unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
-                    FROM d),
-            sh AS (SELECT DISTINCT doc_id,
-                          array_to_string(arr[i:i+2], ' ') AS shingle
-                   FROM idx
-                   WHERE length(array_to_string(arr[i:i+2], ' ')) > 0),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-                       FROM sh a JOIN sh b ON a.shingle = b.shingle
-                       WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
-            SELECT id_a, id_b,
-                   round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
-            FROM common
-            JOIN sizes na ON na.doc_id = id_a
-            JOIN sizes nb ON nb.doc_id = id_b
-            WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
-        """,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "minhash_near_dups": _NGRAM_JACCARD_SQL,
         "embedding_near_dups": """
             WITH pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -715,4 +823,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, neighbor_id, knn_rank, round(sim, 4) AS cos_sim
             FROM ranked WHERE knn_rank <= 3
         """,
-    }
+    })
+    return out

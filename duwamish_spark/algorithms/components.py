@@ -114,8 +114,10 @@ def connected_components_alternating(
     if num_partitions:
         cur = cur.repartition(num_partitions, "src")
     cur = cur.localCheckpoint(eager=True)
+    cached: list[DataFrame] = [cur]
     prev_sig = None
     rounds = 0
+    converged = False
     metrics_hist: list[dict] = []
     for rounds in range(1, max_rounds + 1):
         # large-star: (v, m(u)) for v in N(u), v > u
@@ -138,6 +140,15 @@ def connected_components_alternating(
         if num_partitions:
             cur = cur.repartition(num_partitions, "src")
         cur = cur.localCheckpoint(eager=True)
+        cached.append(cur)
+        # keep only the last 2 checkpointed edge sets in block-manager
+        # storage (mirrors Pregel.run's cached-list cleanup)
+        while len(cached) > 2:
+            old = cached.pop(0)
+            try:
+                old.rdd.unpersist(False)
+            except Exception:
+                pass
         sig_row = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.hash("src", "dst").cast("long")).alias("h"),
@@ -145,14 +156,25 @@ def connected_components_alternating(
         sig = (sig_row["n"], sig_row["h"])
         metrics_hist.append({"superstep": rounds - 1, "edge_pairs": sig[0]})
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
 
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_alternating: edge-set signature did not "
+            f"stabilize within max_rounds={max_rounds}; labels may be "
+            f"incomplete (halted=False)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     nbr_min = cur.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("mn"))
     state = verts.join(nbr_min, "id", "left").select(
         "id", F.least("id", F.coalesce("mn", "id")).alias("label")
     )
-    res = PregelResult(state, rounds, metrics_hist, True, "cc_alternating")
+    res = PregelResult(state, rounds, metrics_hist, converged, "cc_alternating")
     if mapping is not None:
         res.state = decode_state(res.state, mapping, ("id", "label"))
     return res
@@ -174,8 +196,40 @@ def connected_components(
     encode: bool = True,
     broadcast_max_vertices: int = 5_000_000,
     resume: bool = False,
+    algorithm: str = "hashmin",
 ) -> PregelResult:
-    """Result state: (id, label) where label = min vertex id in the component."""
+    """Result state: (id, label) where label = min vertex id in the component.
+
+    ``algorithm``:
+    - ``"hashmin"`` (default) — min-label message passing; O(diameter)
+      supersteps. Right for shallow graphs (import graphs, web graphs).
+    - ``"auto"`` — round-budget switch: run hash-min with a budget of
+      ``2*ceil(log2 V) + 4`` supersteps (a shallow graph converges well
+      inside it); if the budget is exhausted without convergence the graph
+      is high-diameter, so finish with the O(log n) alternating
+      large-star/small-star algorithm instead of paying O(diameter).
+    """
+    if algorithm == "auto":
+        import math
+
+        n_v = vertices.count()
+        budget = min(max_supersteps, 2 * max(1, math.ceil(math.log2(max(2, n_v)))) + 4)
+        probe = connected_components(
+            spark, vertices, edges,
+            max_supersteps=budget, checkpoint_dir=checkpoint_dir,
+            run_id=run_id, reliable_interval=reliable_interval,
+            num_partitions=num_partitions, salt=salt,
+            halt_interval=halt_interval, strategy=strategy, encode=encode,
+            broadcast_max_vertices=broadcast_max_vertices, resume=resume,
+            algorithm="hashmin",
+        )
+        if probe.halted:
+            return probe
+        return connected_components_alternating(
+            spark, vertices, edges,
+            num_partitions=num_partitions, encode=encode,
+        )
+
     mapping = None
     verts, e = vertices, edges
     if encode:

@@ -156,12 +156,17 @@ def pagerank(
     )
 
     if salt == "auto":
-        from duwamish_spark.graph import suggest_salt
+        if use_broadcast:
+            # broadcast combine is partition-local — salt is never used,
+            # so skip the full-edge-table degree probe + driver collect
+            salt = 0
+        else:
+            from duwamish_spark.graph import suggest_salt
 
-        p = num_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
-        salt = suggest_salt(e, p)
+            p = num_partitions or int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            salt = suggest_salt(e, p)
 
     edges_w = _edges_weighted(
         verts, e, num_partitions, "dst" if use_broadcast else "src"

@@ -157,12 +157,18 @@ def recommendations(
     reliable_interval: int = 50,
     num_partitions: int | None = None,
     resume: bool = False,
+    max_supersteps: int | None = None,
 ) -> PregelResult:
     """Train per-feature SGD factors.
 
     ``ratings``: (user_id string, movie_id string, rating_id string,
     rating double). Result state rows: feature vertices (id, kind, fvec)
     and rating vertices (id, kind='rating', rating, residue).
+
+    ``max_supersteps`` caps the run below the reference's full
+    ``featureCount * runsPerFeature * 2`` schedule
+    (Recommendations.java:183) — a fixed-round prefix of the same
+    deterministic arithmetic, used by the SQL-oracled driver query.
     """
     e_f2r = (
         ratings.select(F.col("user_id").alias("src"), F.col("rating_id").alias("dst"))
@@ -246,7 +252,11 @@ def recommendations(
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,
         reliable_interval=reliable_interval,
-        max_supersteps=n_features * runs_per_feature * 2,
+        max_supersteps=(
+            max_supersteps
+            if max_supersteps is not None
+            else n_features * runs_per_feature * 2
+        ),
     )
     try:
         res = runner.run(init, resume=resume)

@@ -16,6 +16,8 @@ from duwamish_spark.functions.similarity import (
     cosine_sim_col,
     embedding_near_dups,
     knn_cosine,
+    knn_cosine_lsh,
+    knn_lsh_recall,
     label_centroids,
 )
 from duwamish_spark.functions.multimodal import (
@@ -40,6 +42,8 @@ __all__ = [
     "embedding_near_dups",
     "cosine_sim_col",
     "knn_cosine",
+    "knn_cosine_lsh",
+    "knn_lsh_recall",
     "label_centroids",
     "synth_media",
     "decode_media",

@@ -19,10 +19,14 @@ Media payload layout produced by :func:`synth_media` (16-byte header +
 body)::
 
     bytes 0-3   magic b"DWMM"
-    bytes 4-7   width  (big-endian uint32; audio: sample_rate)
-    bytes 8-11  height (big-endian uint32; audio/video: n_frames)
+    bytes 4-7   width  (big-endian uint32; audio: sample-rate proxy)
+    bytes 8-11  height (big-endian uint32 — always height, for every kind)
     bytes 12-15 kind tag (b"img\\0" / b"aud\\0" / b"vid\\0")
     bytes 16-   body (deterministic pseudo-pixels derived from the seed text)
+
+``n_frames`` is NOT stored in the header — it is derived as
+``len(body) // (width * height)``: 1 for images and audio (body is one
+width*height block), 2-7 for video (body is n_frames blocks).
 """
 
 from __future__ import annotations
@@ -112,56 +116,152 @@ FEATURES_SCHEMA = (
 )
 
 
-def decode_media(media: DataFrame, require_real_codecs: bool = False) -> DataFrame:
+def _segment_sums(vals: "np.ndarray", starts: "np.ndarray", ends: "np.ndarray") -> "np.ndarray":
+    """Per-segment sums over a 1-D int array — one ``np.add.reduceat``
+    call instead of a Python loop over segments. ``starts``/``ends`` must
+    be non-decreasing across segments (contiguous row layout)."""
+    n = len(starts)
+    out = np.zeros(n, dtype=np.int64)
+    sizes = ends - starts
+    nz = sizes > 0
+    if not nz.any():
+        return out
+    # sentinel element so an end index == len(vals) stays a valid reduceat
+    # index; segment sums read only the even positions of the bounds array
+    vals2 = np.concatenate([vals.astype(np.int64), np.zeros(1, dtype=np.int64)])
+    s, e = starts[nz], ends[nz]
+    bounds = np.empty(2 * len(s), dtype=np.int64)
+    bounds[0::2] = s
+    bounds[1::2] = e
+    out[nz] = np.add.reduceat(vals2, bounds)[0::2]
+    return out
+
+
+def _pil_codec(payload: bytes, kind: str) -> tuple[int, int, bytes]:
+    """Real-image codec adapter (used when PIL is importable): decode the
+    payload with PIL and return (width, height, grayscale body bytes) in
+    the same shape the synthetic header parse produces."""  # pragma: no cover
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    return img.width, img.height, img.tobytes()
+
+
+def decode_media(
+    media: DataFrame,
+    require_real_codecs: bool = False,
+    codec: "object | None" = None,
+) -> DataFrame:
     """Decode payloads into per-media features (the "decode + feature
     extract" stage).
 
-    With ``require_real_codecs=True`` this raises ``NotImplementedError``
-    unless a real codec library is importable — the marked stub. The
-    default path parses the :mod:`synth_media` header and computes body
-    statistics vectorized with NumPy over Arrow batches.
+    ``codec``: optional ``(payload: bytes, kind: str) -> (width, height,
+    body: bytes)`` callable — the pluggable per-item codec boundary. A real
+    deployment passes a PIL/ffmpeg-backed decoder here (per-item work is
+    inherently row-at-a-time); when PIL is importable
+    ``require_real_codecs=True`` wires :func:`_pil_codec` automatically,
+    otherwise it raises ``NotImplementedError`` — the honest stub.
+
+    The default (codec=None) path parses the :func:`synth_media` header and
+    computes body statistics fully vectorized across the Arrow batch:
+    header fields via NumPy gathers over one concatenated buffer, body
+    sums/sq-sums via ``np.add.reduceat`` — no per-row Python except the
+    sha256 digest (stdlib hashlib has no batch API; it is the per-item
+    codec-like step).
     """
-    if require_real_codecs and not _HAVE_PIL:
-        raise NotImplementedError(
-            "real image/audio codecs (PIL/ffmpeg) are not installed in this "
-            "container; the Spark-side plumbing is real, the codec is stubbed"
-        )
+    if require_real_codecs and codec is None:
+        if not _HAVE_PIL:
+            raise NotImplementedError(
+                "real image/audio codecs (PIL/ffmpeg) are not installed in "
+                "this container; the Spark-side plumbing is real, the codec "
+                "is stubbed — pass codec=... to inject one"
+            )
+        codec = _pil_codec  # pragma: no cover
+
+    cols = ["media_id", "kind", "n_bytes", "body_sha256",
+            "width", "height", "mean_byte", "std_byte"]
+
+    def run_codec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # injected-codec path: the decode itself is per-item by nature;
+        # stats stay vectorized over the decoded bodies
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                w, hgt, body_bytes = codec(b, kind)
+                body = np.frombuffer(body_bytes, dtype=np.uint8)
+                rows.append((
+                    mid, kind, len(b), hashlib.sha256(body_bytes).hexdigest(),
+                    w, hgt,
+                    float(body.mean()) if body.size else 0.0,
+                    float(body.std()) if body.size else 0.0,
+                ))
+            yield pd.DataFrame(rows, columns=cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, kind, payload in zip(
-                pdf["media_id"], pdf["kind"], pdf["payload"]
-            ):
-                b = bytes(payload)
-                if b[:4] != MAGIC:
-                    rows.append((mid, kind, len(b), hashlib.sha256(b).hexdigest(),
-                                 None, None, None, None))
-                    continue
-                w, hgt = struct.unpack(">II", b[4:12])
-                body = np.frombuffer(b[16:], dtype=np.uint8)
-                rows.append(
-                    (
-                        mid,
-                        kind,
-                        len(b),
-                        hashlib.sha256(body).hexdigest(),
-                        w,
-                        hgt,
-                        float(body.mean()) if body.size else 0.0,
-                        float(body.std()) if body.size else 0.0,
-                    )
-                )
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(map(len, payloads), dtype=np.int64, count=n)
+            joined = b"".join(payloads)
+            buf = np.frombuffer(joined, dtype=np.uint8)
+            off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)[:-1]])
+            limit = max(buf.size - 1, 0)
+
+            def gather(delta: int) -> np.ndarray:
+                return buf[np.minimum(off + delta, limit)].astype(np.int64) if buf.size else np.zeros(n, dtype=np.int64)
+
+            ok = lens >= 16
+            for j, mb in enumerate(MAGIC):
+                ok &= gather(j) == mb
+            width = (gather(4) << 24) | (gather(5) << 16) | (gather(6) << 8) | gather(7)
+            height = (gather(8) << 24) | (gather(9) << 16) | (gather(10) << 8) | gather(11)
+
+            # stat/sha region: body for DWMM rows, the whole payload otherwise
+            starts = np.where(ok, off + 16, off)
+            ends = off + lens
+            sizes = ends - starts
+            sums = _segment_sums(buf, starts, ends)
+            sqsums = _segment_sums(buf.astype(np.int64) ** 2, starts, ends)
+            safe_n = np.maximum(sizes, 1).astype(np.float64)
+            mean = sums / safe_n
+            var = np.maximum(sqsums / safe_n - mean * mean, 0.0)
+            std = np.sqrt(var)
+
+            # per-row sha256: no batch API in stdlib; memoryview slices
+            # avoid re-copying the payload bytes
+            mem = memoryview(joined)
+            shas = [
+                hashlib.sha256(mem[s:e]).hexdigest()
+                for s, e in zip(starts.tolist(), ends.tolist())
+            ]
+            bad = ~ok
+            width_s = pd.Series(np.where(ok, width, 0), dtype="Int32")
+            height_s = pd.Series(np.where(ok, height, 0), dtype="Int32")
+            mean_s = pd.Series(mean, dtype="Float64")
+            std_s = pd.Series(std, dtype="Float64")
+            for s_ in (width_s, height_s, mean_s, std_s):
+                s_[bad] = None
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "kind", "n_bytes", "body_sha256",
-                    "width", "height", "mean_byte", "std_byte",
-                ],
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": lens,
+                    "body_sha256": shas,
+                    "width": width_s,
+                    "height": height_s,
+                    "mean_byte": mean_s,
+                    "std_byte": std_s,
+                }
             )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
-        run, FEATURES_SCHEMA
+        run_codec if codec is not None else run, FEATURES_SCHEMA
     )
 
 
@@ -176,20 +276,41 @@ def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_idx, out_frame = [], [], []
             vids = pdf[pdf["kind"] == "video"]
-            for mid, payload in zip(vids["media_id"], vids["payload"]):
-                b = bytes(payload)
-                if b[:4] != MAGIC:
-                    continue
-                w, hgt = struct.unpack(">II", b[4:12])
-                fsize = max(w * hgt, 1)
-                body = b[16:]
-                n = len(body) // fsize
-                for i in range(0, n, every_k):
-                    out_id.append(mid)
+            n = len(vids)
+            if n == 0:
+                yield pd.DataFrame({"media_id": [], "frame_index": [], "frame": []})
+                continue
+            # vectorized header parse over one concatenated buffer (same
+            # technique as decode_media); only the per-frame byte slicing
+            # stays row-at-a-time — it constructs the output objects
+            payloads = [bytes(p) for p in vids["payload"]]
+            lens = np.fromiter(map(len, payloads), dtype=np.int64, count=n)
+            joined = b"".join(payloads)
+            buf = np.frombuffer(joined, dtype=np.uint8)
+            off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)[:-1]])
+            limit = max(buf.size - 1, 0)
+
+            def gather(delta: int) -> np.ndarray:
+                return buf[np.minimum(off + delta, limit)].astype(np.int64) if buf.size else np.zeros(n, dtype=np.int64)
+
+            ok = lens >= 16
+            for j, mb in enumerate(MAGIC):
+                ok &= gather(j) == mb
+            width = (gather(4) << 24) | (gather(5) << 16) | (gather(6) << 8) | gather(7)
+            height = (gather(8) << 24) | (gather(9) << 16) | (gather(10) << 8) | gather(11)
+            fsize = np.maximum(width * height, 1)
+            n_frames = np.where(ok, (lens - 16) // fsize, 0)
+
+            mem = memoryview(joined)
+            mids = vids["media_id"].to_numpy()
+            out_id, out_idx, out_frame = [], [], []
+            for r in np.nonzero(n_frames > 0)[0]:
+                base, fs = int(off[r]) + 16, int(fsize[r])
+                for i in range(0, int(n_frames[r]), every_k):
+                    out_id.append(mids[r])
                     out_idx.append(i)
-                    out_frame.append(body[i * fsize:(i + 1) * fsize])
+                    out_frame.append(bytes(mem[base + i * fs: base + (i + 1) * fs]))
             yield pd.DataFrame(
                 {"media_id": out_id, "frame_index": out_idx, "frame": out_frame}
             )
@@ -244,15 +365,28 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, vecs = [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                h = hashlib.sha256(bytes(payload)).digest()
-                raw = np.frombuffer((h * (dim * 4 // len(h) + 1))[: dim * 4], dtype=np.uint32)
-                v = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
-                v /= np.linalg.norm(v) or 1.0
-                ids.append(mid)
-                vecs.append(v.astype(np.float32).tolist())
-            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"media_id": [], "embedding": []})
+                continue
+            # sha256 is the per-item "model forward" stand-in; everything
+            # after the digests is one batched NumPy computation
+            reps = dim * 4 // 32 + 1
+            digests = b"".join(
+                hashlib.sha256(bytes(p)).digest() for p in pdf["payload"]
+            )
+            arr = np.frombuffer(digests, dtype=np.uint8).reshape(n, 32)
+            raw = (
+                np.ascontiguousarray(np.tile(arr, (1, reps))[:, : dim * 4])
+                .view(np.uint32)
+            )
+            v = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            v = (v / norms).astype(np.float32)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "embedding": list(v)}
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         run, "media_id string, embedding array<float>"

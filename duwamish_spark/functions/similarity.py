@@ -35,17 +35,41 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# above this row count the all-pairs cross join is the scale-killer, so
+# `strategy="auto"` switches to the LSH-bucketed plan (mirrors pagerank's
+# strategy="auto" broadcast/shuffle selection)
+AUTO_LSH_THRESHOLD = 100_000
+
+
 def knn_cosine(
     emb: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    strategy: str = "auto",
+    lsh_threshold: int = AUTO_LSH_THRESHOLD,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 11,
 ) -> DataFrame:
-    """(vec_id, neighbor_id, knn_rank, cos_sim) — brute-force top-k.
+    """(vec_id, neighbor_id, knn_rank, cos_sim) — cosine top-k.
 
     Deterministic ordering: similarity desc, then neighbor id asc.
-    O(n²) — correctness baseline; use :func:`lsh_buckets` beyond ~10^5 rows.
+
+    ``strategy``: ``"brute"`` = exact all-pairs (O(n²) — correctness
+    baseline / small-N); ``"lsh"`` = :func:`knn_cosine_lsh` (bucketed,
+    the 100 TB path, approximate); ``"auto"`` (default) counts rows once
+    and picks brute below ``lsh_threshold``, LSH above — the default plan
+    is never all-pairs at scale.
     """
+    if strategy == "auto":
+        strategy = "brute" if emb.count() <= lsh_threshold else "lsh"
+    if strategy == "lsh":
+        return knn_cosine_lsh(
+            emb, k=k, n_planes=n_planes, seed=seed,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
     a = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
@@ -140,16 +164,24 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 0,
+    n_planes: int | None = None,
+    lsh_threshold: int = AUTO_LSH_THRESHOLD,
+    auto_planes: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim >= t).
 
-    ``n_planes=0``: exact all-pairs (the verifier / small-N path).
-    ``n_planes>0``: LSH-bucketed — random-hyperplane signatures prune the
-    pair space first (same bucket => candidate), then exact cosine on
-    candidates only; at 100 TB only the bucket join shuffles.
+    ``n_planes=None`` (default, auto): counts rows once — exact all-pairs
+    below ``lsh_threshold`` (the verifier / small-N path), LSH with
+    ``auto_planes`` hyperplanes above it, so the default plan is never
+    all-pairs at scale.
+    ``n_planes=0``: force exact all-pairs. ``n_planes>0``: force the
+    LSH-bucketed path — random-hyperplane signatures prune the pair space
+    first (same bucket => candidate), then exact cosine on candidates
+    only; at 100 TB only the bucket join shuffles.
     ``id_a < id_b``; cos_sim rounded to 6 places.
     """
+    if n_planes is None:
+        n_planes = 0 if emb.count() <= lsh_threshold else auto_planes
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if n_planes:
@@ -169,3 +201,28 @@ def embedding_near_dups(
     return pairs.where(sim >= threshold).select(
         "id_a", "id_b", F.round(sim, 6).alias("cos_sim")
     )
+
+
+def knn_lsh_recall(
+    emb: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> float:
+    """Recall of the LSH top-k against the brute-force top-k:
+    |LSH ∩ exact| / |exact| over (vec_id, neighbor_id) pairs. The quality
+    gate for the approximate scale path — run at a sampled SF, not on the
+    full corpus (the exact side is O(n²))."""
+    exact = knn_cosine(emb, k, id_col, vec_col, strategy="brute").select(
+        "vec_id", "neighbor_id"
+    )
+    approx = knn_cosine_lsh(emb, k, n_planes, seed, id_col, vec_col, dim).select(
+        "vec_id", "neighbor_id"
+    )
+    denom = exact.count()
+    if denom == 0:
+        return 1.0
+    return exact.intersect(approx).count() / denom

@@ -79,8 +79,20 @@ def combine_messages(
     if salt and salt > 1:
         # split each hot destination across `salt` reducer sub-keys; with
         # pre_shuffle the exchange itself runs on (key, salt) so no single
-        # reducer partition receives a hub's full in-degree
-        salt_col = F.pmod(F.hash(*[c for c in messages.columns if c != key]), F.lit(salt))
+        # reducer partition receives a hub's full in-degree.
+        # The sub-key mixes the message VALUE hash with a sender-derived
+        # term (the upstream partition id): value columns alone collapse
+        # when a hub's incoming messages all carry the same value (CC/LP
+        # labels in late rounds), which would silently disable salting.
+        # Any sub-key assignment is correct (aggregation is salt-invariant,
+        # tested) — the sender term only restores balance.
+        salt_col = F.pmod(
+            F.hash(
+                *[c for c in messages.columns if c != key],
+                F.spark_partition_id(),
+            ),
+            F.lit(salt),
+        )
         messages = messages.withColumn("_salt", salt_col)
         if pre_shuffle:
             messages = messages.repartition(F.col(key), F.col("_salt"))

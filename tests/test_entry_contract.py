@@ -71,10 +71,10 @@ def test_query_matches_oracle(spark, ducks, name):
     assert not mismatches, f"{name}: {len(mismatches)} mismatching rows, first: {mismatches[:3]}"
 
 
-def test_rows_only_queries_run(spark):
-    for name in ("pagerank_converged", "minhash_near_dups"):
-        df = entrymod.queries()[name](spark, SF_DIR)
-        assert df.count() >= 0 and len(df.columns) > 0
+def test_every_query_is_oracled():
+    # round-2 invariant: no rows-only entries left — every queries() key
+    # has a DuckDB oracle (the driver gate records hash_match for all)
+    assert set(entrymod.queries()) == set(entrymod.oracle_sql())
 
 
 def test_entry_smoke(spark):
