@@ -127,6 +127,19 @@ def main() -> None:
     queries["connected_components"] = round(time.monotonic() - t0, 3)
     extra["cc"] = {"rounds": cc.supersteps, "components": n_comp}
 
+    # hash-min vs alternating-star on the same graph (the algorithm="auto"
+    # switch picks between these; detail-only so the headline total stays
+    # comparable across rounds)
+    from duwamish_spark.algorithms import connected_components_alternating
+
+    t0 = time.monotonic()
+    alt = connected_components_alternating(
+        spark, verts, edges, num_partitions=cpus, encode=False
+    )
+    alt.state.count()
+    extra["cc"]["alternating_sec"] = round(time.monotonic() - t0, 3)
+    extra["cc"]["alternating_rounds"] = alt.supersteps
+
     t0 = time.monotonic()
     lp = label_propagation(spark, verts, edges, max_supersteps=5, num_partitions=cpus, encode=False)
     lp.state.count()
@@ -173,6 +186,17 @@ def main() -> None:
         t0 = time.monotonic()
         knn_cosine_lsh(emb, k=3, n_planes=8).count()
         queries["knn_cosine_lsh"] = round(time.monotonic() - t0, 3)
+
+        # quality gate for the approximate scale path: LSH top-k recall vs
+        # the exact top-k on a bounded sample (the exact side is O(n^2))
+        from duwamish_spark.functions.similarity import knn_lsh_recall
+
+        sample = emb.limit(1500).persist()
+        sample.count()
+        extra["knn_lsh_recall_n1500"] = round(
+            knn_lsh_recall(sample, k=3, n_planes=8), 4
+        )
+        sample.unpersist()
 
     verts.unpersist()
     spark.stop()

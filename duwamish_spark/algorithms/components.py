@@ -47,13 +47,16 @@ def _cc_update(state: DataFrame, mins: DataFrame) -> DataFrame:
     )
 
 
-def _cc_step(state: DataFrame, edges_sym: DataFrame, salt: int = 0) -> DataFrame:
+def _cc_step(
+    state: DataFrame, edges_sym: DataFrame, salt: int = 0, combine: str = "partial"
+) -> DataFrame:
     frontier = state.where(F.col("_changed") == 1)
     msgs = frontier.hint("shuffle_hash").join(
         edges_sym, frontier["id"] == edges_sym["src"]
     ).select("dst", F.col("label").alias("m"))
     mins = combine_messages(
-        msgs, [("mlabel", "m", "min"), ("mcnt", "m", "count")], key="dst", salt=salt
+        msgs, [("mlabel", "m", "min"), ("mcnt", "m", "count")], key="dst", salt=salt,
+        pre_shuffle=(combine == "raw"),
     ).withColumnRenamed("dst", "id")
     return _cc_update(state, mins)
 
@@ -197,8 +200,14 @@ def connected_components(
     broadcast_max_vertices: int = 5_000_000,
     resume: bool = False,
     algorithm: str = "hashmin",
+    partitioner=None,
+    combine: str = "partial",
 ) -> PregelResult:
     """Result state: (id, label) where label = min vertex id in the component.
+
+    ``partitioner``: optional ``Column -> Column`` placement hook for the
+    persisted adjacency and initial state (graph.partition_by; reference:
+    model/Partitioner.java:19-21). Results are partitioner-invariant.
 
     ``algorithm``:
     - ``"hashmin"`` (default) — min-label message passing; O(diameter)
@@ -221,7 +230,7 @@ def connected_components(
             num_partitions=num_partitions, salt=salt,
             halt_interval=halt_interval, strategy=strategy, encode=encode,
             broadcast_max_vertices=broadcast_max_vertices, resume=resume,
-            algorithm="hashmin",
+            algorithm="hashmin", partitioner=partitioner,
         )
         if probe.halted:
             return probe
@@ -242,10 +251,12 @@ def connected_components(
         strategy == "auto" and n_verts <= broadcast_max_vertices
     )
 
+    from duwamish_spark.graph import partition_by
+
     edges_sym = symmetrize(e)
     if num_partitions:
-        edges_sym = edges_sym.repartition(
-            num_partitions, "dst" if use_broadcast else "src"
+        edges_sym = partition_by(
+            edges_sym, num_partitions, "dst" if use_broadcast else "src", partitioner
         )
     edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
     edges_sym.count()
@@ -254,7 +265,7 @@ def connected_components(
         "id", F.col("id").alias("label"), F.lit(1).alias("_changed"), F.lit(0).alias("_msgs")
     )
     if num_partitions:
-        init = init.repartition(num_partitions, "id")
+        init = partition_by(init, num_partitions, "id", partitioner)
 
     metrics = {
         "changed": F.sum("_changed"),
@@ -268,7 +279,7 @@ def connected_components(
         halt_interval = min(halt_interval, 4)
         step = lambda st, s: _cc_step_broadcast(st, edges_sym)  # noqa: E731
     else:
-        step = lambda st, s: _cc_step(st, edges_sym, salt)  # noqa: E731
+        step = lambda st, s: _cc_step(st, edges_sym, salt, combine)  # noqa: E731
 
     runner = Pregel(
         spark,

@@ -52,13 +52,16 @@ def _edges_weighted(
     edges: DataFrame,
     num_partitions: int | None,
     part_col: str = "src",
+    partitioner=None,
 ) -> DataFrame:
+    from duwamish_spark.graph import partition_by
+
     deg = out_degrees(vertices, edges)
     ew = edges.join(
         deg.withColumnRenamed("id", "src"), "src"
     ).select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
     if num_partitions:
-        ew = ew.repartition(num_partitions, part_col)
+        ew = partition_by(ew, num_partitions, part_col, partitioner)
     return ew
 
 
@@ -129,6 +132,7 @@ def pagerank(
     broadcast_max_vertices: int = 5_000_000,
     resume: bool = False,
     initial_ranks: DataFrame | None = None,
+    partitioner=None,
 ) -> PregelResult:
     """Run PageRank to L1-residual convergence. Result state: (id, rank).
 
@@ -137,6 +141,11 @@ def pagerank(
     incrementally (new commits -> new files/edges), re-converging from the
     previous ranks takes a fraction of the supersteps of a cold start:
     vertices absent from the seed (new files) start at 1.0.
+
+    ``partitioner``: optional ``Column -> Column`` placement hook applied
+    to the persisted edge table and the initial state (see
+    graph.partition_by; reference: model/Partitioner.java:19-21). Results
+    are partitioner-invariant (tested).
     """
     from duwamish_spark.graph import require_columns
 
@@ -169,7 +178,7 @@ def pagerank(
             salt = suggest_salt(e, p)
 
     edges_w = _edges_weighted(
-        verts, e, num_partitions, "dst" if use_broadcast else "src"
+        verts, e, num_partitions, "dst" if use_broadcast else "src", partitioner
     ).persist(StorageLevel.MEMORY_AND_DISK)
     edges_w.count()  # materialize once; reused every superstep
 
@@ -186,7 +195,9 @@ def pagerank(
     else:
         init = verts.select("id", F.lit(1.0).alias("rank"))
     if num_partitions:
-        init = init.repartition(num_partitions, "id")
+        from duwamish_spark.graph import partition_by
+
+        init = partition_by(init, num_partitions, "id", partitioner)
 
     metrics = {
         # reference accumulators: PageRankChange / MaxPageRank / MinPageRank

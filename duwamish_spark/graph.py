@@ -214,6 +214,33 @@ def suggest_salt(
     return 0
 
 
+def partition_by(
+    df: DataFrame,
+    num_partitions: int,
+    key_col: str,
+    partitioner=None,
+) -> DataFrame:
+    """Explicit placement of a graph table — the engine's pluggable
+    partitioner hook (reference: model/Partitioner.java:19-21, default
+    util/HashPartitioner.java).
+
+    ``partitioner``: optional ``Column -> Column`` mapping the routing-key
+    column to a partition-key expression (range bucketing, modulo routing,
+    locality grouping, ...). Default None = Spark hash partitioning on the
+    key itself.
+
+    Spark scope note (honest contract, not the reference's): this controls
+    the PLACEMENT of persisted tables and checkpoints — where vertex/edge
+    rows live between supersteps. Message routing inside a shuffle is
+    always Spark's hash exchange on the join/groupBy key: a custom
+    placement that differs from it costs one extra exchange per superstep,
+    same as any Spark job whose storage partitioning differs from its
+    shuffle partitioning.
+    """
+    expr = partitioner(F.col(key_col)) if partitioner is not None else F.col(key_col)
+    return df.repartition(num_partitions, expr)
+
+
 def require_columns(df: DataFrame, cols: tuple[str, ...], what: str) -> None:
     """Fail fast with a readable message instead of a deep Catalyst error."""
     missing = [c for c in cols if c not in df.columns]

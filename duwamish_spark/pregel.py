@@ -52,6 +52,19 @@ _ALGEBRAIC: dict[str, tuple[Callable[..., Column], Callable[..., Column]]] = {
 }
 
 
+def salt_subkey(value_cols: list[Column], salt: int) -> Column:
+    """Reducer sub-key in [0, salt) for splitting a hot destination.
+
+    Mixes the message VALUE hash with a sender-derived term (the upstream
+    partition id): value columns alone collapse to ONE sub-key when a
+    hub's incoming messages all carry the same value — exactly what
+    happens to CC/LP labels in late rounds — which would silently disable
+    salting. Any sub-key assignment is correct (aggregation is
+    salt-invariant, tested); the sender term only restores balance.
+    """
+    return F.pmod(F.hash(*value_cols, F.spark_partition_id()), F.lit(salt))
+
+
 def combine_messages(
     messages: DataFrame,
     aggs: list[tuple[str, str, str]],
@@ -79,19 +92,9 @@ def combine_messages(
     if salt and salt > 1:
         # split each hot destination across `salt` reducer sub-keys; with
         # pre_shuffle the exchange itself runs on (key, salt) so no single
-        # reducer partition receives a hub's full in-degree.
-        # The sub-key mixes the message VALUE hash with a sender-derived
-        # term (the upstream partition id): value columns alone collapse
-        # when a hub's incoming messages all carry the same value (CC/LP
-        # labels in late rounds), which would silently disable salting.
-        # Any sub-key assignment is correct (aggregation is salt-invariant,
-        # tested) — the sender term only restores balance.
-        salt_col = F.pmod(
-            F.hash(
-                *[c for c in messages.columns if c != key],
-                F.spark_partition_id(),
-            ),
-            F.lit(salt),
+        # reducer partition receives a hub's full in-degree
+        salt_col = salt_subkey(
+            [F.col(c) for c in messages.columns if c != key], salt
         )
         messages = messages.withColumn("_salt", salt_col)
         if pre_shuffle:

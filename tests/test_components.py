@@ -46,6 +46,41 @@ def test_salted_equals_unsalted(spark):
     assert plain == salted
 
 
+def test_raw_combine_equals_partial(spark):
+    # raw = exchange-then-aggregate (the strong-scaling / hub-salting
+    # configuration); with salt, identical-label hub messages spread by
+    # the sender-derived sub-key term. Same labels either way.
+    ids, edges = rand_graph(150, 3, 29)
+    partial, _ = _run(spark, ids, edges, strategy="shuffle")
+    raw, _ = _run(spark, ids, edges, strategy="shuffle", combine="raw")
+    raw_salted, _ = _run(
+        spark, ids, edges, strategy="shuffle", combine="raw", salt=8
+    )
+    assert partial == raw == raw_salted
+
+
+def test_auto_algorithm_switches_on_high_diameter(spark):
+    # a 200-vertex path exhausts the hash-min round budget (2*log2(200)+4
+    # ~ 20 << 200 diameter) -> auto finishes with alternating star; on a
+    # shallow random graph auto stays on hash-min and halts
+    from duwamish_spark.algorithms.components import connected_components
+
+    ids = [f"{i:04d}" for i in range(200)]
+    edges = [(ids[i], ids[i + 1]) for i in range(199)]
+    v, e = vertices_df(spark, ids), edges_df(spark, edges)
+    res = connected_components(spark, v, e, algorithm="auto")
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got == {i: "0000" for i in ids}
+    assert res.halted
+    assert res.run_id == "cc_alternating"
+
+    ids2, edges2 = rand_graph(150, 3, 31)
+    v2, e2 = vertices_df(spark, ids2), edges_df(spark, edges2)
+    res2 = connected_components(spark, v2, e2, algorithm="auto")
+    assert res2.halted
+    assert res2.run_id != "cc_alternating"
+
+
 def test_strategies_and_encoding_exact_equal(spark):
     ids, edges = rand_graph(200, 2, 19)
     a, _ = _run(spark, ids, edges, strategy="shuffle", encode=False)

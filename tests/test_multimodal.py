@@ -61,6 +61,25 @@ def test_decode_requires_real_codecs_is_stubbed(media):
         decode_media(media, require_real_codecs=True).collect()
 
 
+def test_injected_codec_through_same_kernel(media):
+    # the pluggable codec boundary: a real deployment injects a PIL/ffmpeg
+    # decoder with this exact signature; here a deterministic fake codec
+    # proves the mapInPandas kernel, schema, and stats wiring are shared
+    def fake_codec(payload: bytes, kind: str) -> tuple[int, int, bytes]:
+        body = payload[-8:]  # "decode" = last 8 bytes
+        return 4, 2, body
+
+    feats = {r.media_id: r for r in decode_media(media, codec=fake_codec).collect()}
+    for r in media.collect():
+        f = feats[r.media_id]
+        body = bytes(r.payload)[-8:]
+        arr = np.frombuffer(body, dtype=np.uint8)
+        assert (f.width, f.height) == (4, 2)
+        assert f.n_bytes == len(bytes(r.payload))
+        assert f.body_sha256 == hashlib.sha256(body).hexdigest()
+        assert abs(f.mean_byte - float(arr.mean())) < 1e-9
+
+
 def test_frame_sample_counts(media):
     vids = {r.media_id: r for r in media.where("kind = 'video'").collect()}
     sampled = frame_sample(media, every_k=2).collect()

@@ -108,6 +108,47 @@ def test_raw_combine_equals_partial(spark):
         assert raw_salted[v] == pytest.approx(partial[v], abs=1e-9)
 
 
+def test_custom_partitioner_invariant_and_placed(spark):
+    # the public placement hook (reference: model/Partitioner.java:19-21):
+    # results are identical under any partitioner, and partition_by really
+    # co-locates rows by the custom expression
+    from pyspark.sql import functions as F
+
+    from duwamish_spark.graph import partition_by
+
+    ids, edges = rand_graph(150, 8, 23)
+    modulo = lambda c: F.pmod(F.hash(c), F.lit(3))  # noqa: E731
+    base, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=6, strategy="shuffle")
+    custom, _ = _run(
+        spark, ids, edges, tol=0.0, max_supersteps=6, strategy="shuffle",
+        num_partitions=4, partitioner=modulo,
+    )
+    for v in ids:
+        assert custom[v] == pytest.approx(base[v], abs=1e-12)
+
+    # placement: every modulo-class lives in exactly one partition
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    placed = partition_by(df, 4, "id", modulo).select(
+        "id", F.spark_partition_id().alias("pid"),
+        F.pmod(F.hash("id"), F.lit(3)).alias("cls"),
+    )
+    per_class = placed.groupBy("cls").agg(
+        F.countDistinct("pid").alias("n_pids")
+    ).collect()
+    assert per_class and all(r["n_pids"] == 1 for r in per_class)
+
+    from duwamish_spark.algorithms import connected_components
+    from conftest import edges_df, vertices_df as _vdf
+
+    e = edges_df(spark, edges)
+    v = vertices_from(None, e)
+    cc_base = connected_components(spark, v, e, strategy="shuffle").state.collect()
+    cc_custom = connected_components(
+        spark, v, e, strategy="shuffle", num_partitions=4, partitioner=modulo
+    ).state.collect()
+    assert {(r.id, r.label) for r in cc_base} == {(r.id, r.label) for r in cc_custom}
+
+
 def test_auto_salt_decision(spark):
     from pyspark.sql import functions as F
 

@@ -153,3 +153,33 @@ def test_custom_vertex_program_max_flood(spark):
     got = {r["id"]: r["val"] for r in res.state.collect()}
     assert set(got.values()) == {float(max(vals.values()))}
     assert res.halted and res.supersteps <= n + 1
+
+
+def test_salt_subkey_spreads_identical_values(spark):
+    # The CC/LP late-round hub shape: every incoming message carries the
+    # SAME value. A value-only sub-key hash collapses to one reducer key
+    # (silently disabling salting); the sender-derived term in salt_subkey
+    # keeps the hub's traffic spread. Result stays exact either way.
+    from pyspark.sql import functions as F
+
+    from duwamish_spark.pregel import combine_messages, salt_subkey
+
+    msgs = (
+        spark.range(80_000)
+        .repartition(8)
+        .select(F.lit(0).alias("dst"), F.lit(7.0).alias("m"))
+    )
+    n_sub = msgs.select(salt_subkey([F.col("m")], 16).alias("s")).distinct().count()
+    n_value_only = msgs.select(
+        F.pmod(F.hash("m"), F.lit(16)).alias("s")
+    ).distinct().count()
+    assert n_value_only == 1  # the pre-fix derivation: collapsed
+    assert n_sub > 4  # fixed: one sub-key per upstream partition
+
+    row = combine_messages(
+        msgs, [("msum", "m", "sum"), ("mcnt", "m", "count")],
+        salt=16, pre_shuffle=True,
+    ).collect()[0]
+    assert row["dst"] == 0
+    assert row["mcnt"] == 80_000
+    assert row["msum"] == 7.0 * 80_000

@@ -45,6 +45,20 @@ def test_load_corpus_unknown_format(spark, corpus_path):
         load_corpus(spark, corpus_path, source_format="csvish")
 
 
+def test_iceberg_switch_is_deploy_time_only(spark):
+    # the iceberg-spark runtime jar is not shipped in this container, so
+    # the switch must fail loudly (Spark's DATA_SOURCE_NOT_FOUND), never
+    # silently fall back to another format. At deploy time the same call
+    # works once spark.jars.packages carries iceberg-spark-runtime and a
+    # catalog is configured (README "Deploying").
+    try:
+        load_corpus(spark, "catalog.db.corpus", source_format="iceberg")
+    except Exception as exc:  # AnalysisException or Py4J ClassNotFound
+        assert "iceberg" in str(exc).lower()
+    else:  # pragma: no cover - only with the runtime jar present
+        pytest.skip("iceberg runtime available; switch exercised for real")
+
+
 def test_write_edges_roundtrip(spark, corpus_path, tmp_path):
     from duwamish_spark.parse import extract_edges
 

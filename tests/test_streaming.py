@@ -55,6 +55,68 @@ def test_streaming_degree_counts(spark, corpus_dir, tmp_path):
         assert i == in_d.get(vid, 0)
 
 
+def test_streaming_ingest_to_warm_start_pagerank(spark, tmp_path):
+    """End-to-end incremental loop: commits land -> streaming parser keeps
+    an append-only edge table current -> PageRank re-converges from the
+    previous ranks in far fewer supersteps than a cold start, with the
+    same fixpoint. (The 10^12-file operating loop: the corpus only ever
+    grows; full recomputation per delta is the thing this avoids.)"""
+    import numpy as np
+
+    from duwamish_spark.algorithms import pagerank
+    from duwamish_spark.graph import vertices_from
+
+    corpus = tmp_path / "inc_corpus"
+    edges_out = tmp_path / "inc_edges"
+    ck = tmp_path / "inc_ck"
+    corpus.mkdir()
+
+    def drain():
+        stream = stream_extract_edges(stream_corpus(spark, str(corpus)))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(edges_out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(edges_out))
+
+    # batch 0 lands -> cold start
+    base, _ = synth_corpus(250, 6, seed=31)
+    base.to_parquet(str(corpus / "batch0.parquet"), index=False)
+    e0 = drain()
+    v0 = vertices_from(None, e0)
+    cold = pagerank(spark, v0, e0, tol=1e-5)
+    assert cold.halted
+
+    # batch 1 lands (the corpus GROWS) -> streaming checkpoint processes
+    # only the new file; warm start re-converges from the previous ranks.
+    # New repos get a fresh namespace (same-repo imports follow the rename;
+    # go imports keep referencing old repos = a few cross-links into the
+    # existing graph — the realistic incremental-commit shape)
+    delta, _ = synth_corpus(25, 6, seed=77)
+    delta["repo"] = "new" + delta["repo"]
+    delta.to_parquet(str(corpus / "batch1.parquet"), index=False)
+    e1 = drain()
+    assert e1.count() > e0.count()
+    v1 = vertices_from(None, e1)
+    warm = pagerank(spark, v1, e1, tol=1e-5, initial_ranks=cold.state)
+    fresh = pagerank(spark, v1, e1, tol=1e-5)
+    assert warm.halted
+    # brand-new vertices still start at 1.0, so their neighborhood pays a
+    # local cold start; measured: 36 vs 62 supersteps on this shape
+    assert warm.supersteps < fresh.supersteps * 0.75
+
+    w = {r.id: r.rank for r in warm.state.collect()}
+    f = {r.id: r.rank for r in fresh.state.collect()}
+    assert set(w) == set(f)
+    diff = max(abs(w[k] - f[k]) for k in w)
+    assert diff < 1e-3, f"warm/cold fixpoints diverge: {diff}"
+
+
 def test_streaming_edge_rates_window(spark, tmp_path):
     d = tmp_path / "timed_edges"
     d.mkdir()
