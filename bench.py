@@ -187,15 +187,19 @@ def main() -> None:
         knn_cosine_lsh(emb, k=3, n_planes=8).count()
         queries["knn_cosine_lsh"] = round(time.monotonic() - t0, 3)
 
-        # quality gate for the approximate scale path: LSH top-k recall vs
-        # the exact top-k on a bounded sample (the exact side is O(n^2))
+        # quality gate for the approximate scale path: LSH top-k recall +
+        # candidate fraction vs the exact top-k on a bounded sample (the
+        # exact side is O(n^2)). This corpus's top-3 neighbors sit at
+        # cosine 0.25-0.51 (weak structure), the hard regime for LSH —
+        # multi-table is what keeps recall non-degenerate there.
         from duwamish_spark.functions.similarity import knn_lsh_recall
 
         sample = emb.limit(1500).persist()
         sample.count()
-        extra["knn_lsh_recall_n1500"] = round(
-            knn_lsh_recall(sample, k=3, n_planes=8), 4
-        )
+        extra["knn_lsh_recall_n1500"] = {
+            "fast": knn_lsh_recall(sample, k=3, n_planes=8, n_tables=8),
+            "quality": knn_lsh_recall(sample, k=3, n_planes=6, n_tables=16),
+        }
         sample.unpersist()
 
     verts.unpersist()

@@ -102,22 +102,34 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """(id, bucket) — random-hyperplane LSH signature (cosine-preserving).
+    """(id, table, bucket) — random-hyperplane LSH signatures
+    (cosine-preserving), one row per table.
 
-    Candidate generation for ANN: only same-bucket pairs are scored, so the
-    join is keyed and linear-ish in practice instead of all-pairs.
+    Candidate generation for ANN: only same-(table, bucket) pairs are
+    scored, so the join is keyed and linear-ish in practice instead of
+    all-pairs. ``n_tables`` independent tables trade candidate volume for
+    recall (a true neighbor at angle θ collides in one table with
+    p = (1 - θ/π)^n_planes; across L tables recall = 1-(1-p)^L) — the
+    standard multi-table construction for weakly-clustered embeddings
+    where a single table's recall collapses.
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return emb.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    rows = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+            bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, i)
+        rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("tb")
+    ).select("id", "tb.table", "tb.bucket")
 
 
 def knn_cosine_lsh(
@@ -128,14 +140,23 @@ def knn_cosine_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: score only same-LSH-bucket pairs."""
-    buckets = lsh_buckets(emb, n_planes, seed, id_col, vec_col, dim)
-    e = emb.join(buckets.withColumnRenamed("id", id_col), id_col)
-    a = e.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), "bucket")
-    b = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("vec_id") != F.col("neighbor_id"))
-    scored = pairs.select(
+    """Approximate top-k: score only pairs sharing an LSH bucket in at
+    least one of ``n_tables`` tables (candidates deduped before scoring,
+    so each pair's exact cosine is computed once)."""
+    buckets = lsh_buckets(emb, n_planes, seed, id_col, vec_col, dim, n_tables)
+    ba = buckets.select(F.col("id").alias("vec_id"), "table", "bucket")
+    bb = buckets.select(F.col("id").alias("neighbor_id"), "table", "bucket")
+    cand = (
+        ba.join(bb, ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    a = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    scored = cand.join(a, "vec_id").join(b, "neighbor_id").select(
         "vec_id", "neighbor_id", cosine_sim_col(F.col("va"), F.col("vb")).alias("sim")
     )
     from pyspark.sql.window import Window
@@ -167,6 +188,8 @@ def embedding_near_dups(
     n_planes: int | None = None,
     lsh_threshold: int = AUTO_LSH_THRESHOLD,
     auto_planes: int = 16,
+    n_tables: int = 8,
+    seed: int = 11,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim >= t).
 
@@ -185,11 +208,14 @@ def embedding_near_dups(
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if n_planes:
-        ba = lsh_buckets(emb, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
-        bb = ba.select(F.col("id").alias("id_b"), F.col("bucket").alias("bucket_b"))
+        bk = lsh_buckets(
+            emb, n_planes=n_planes, seed=seed, id_col=id_col,
+            vec_col=vec_col, n_tables=n_tables,
+        )
+        ba = bk.select(F.col("id").alias("id_a"), "table", "bucket")
+        bb = bk.select(F.col("id").alias("id_b"), "table", "bucket")
         cand = (
-            ba.select(F.col("id").alias("id_a"), "bucket")
-            .join(bb, F.col("bucket") == F.col("bucket_b"))
+            ba.join(bb, ["table", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
@@ -211,18 +237,36 @@ def knn_lsh_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-) -> float:
-    """Recall of the LSH top-k against the brute-force top-k:
-    |LSH ∩ exact| / |exact| over (vec_id, neighbor_id) pairs. The quality
-    gate for the approximate scale path — run at a sampled SF, not on the
-    full corpus (the exact side is O(n²))."""
+    n_tables: int = 8,
+) -> dict:
+    """Quality gate for the approximate scale path: recall of the LSH
+    top-k against the brute-force top-k (|LSH ∩ exact| / |exact| over
+    (vec_id, neighbor_id) pairs) plus the candidate-pair fraction that
+    bought it. Run at a sampled SF, not on the full corpus (the exact
+    side is O(n²))."""
+    n = emb.count()
     exact = knn_cosine(emb, k, id_col, vec_col, strategy="brute").select(
         "vec_id", "neighbor_id"
     )
-    approx = knn_cosine_lsh(emb, k, n_planes, seed, id_col, vec_col, dim).select(
-        "vec_id", "neighbor_id"
+    buckets = lsh_buckets(emb, n_planes, seed, id_col, vec_col, dim, n_tables)
+    ba = buckets.select(F.col("id").alias("vec_id"), "table", "bucket")
+    bb = buckets.select(F.col("id").alias("neighbor_id"), "table", "bucket")
+    n_cand = (
+        ba.join(bb, ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+        .count()
     )
+    approx = knn_cosine_lsh(
+        emb, k, n_planes, seed, id_col, vec_col, dim, n_tables
+    ).select("vec_id", "neighbor_id")
     denom = exact.count()
-    if denom == 0:
-        return 1.0
-    return exact.intersect(approx).count() / denom
+    recall = 1.0 if denom == 0 else exact.intersect(approx).count() / denom
+    all_pairs = max(n * (n - 1), 1)
+    return {
+        "recall": round(recall, 4),
+        "candidate_fraction": round(n_cand / all_pairs, 4),
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+    }
