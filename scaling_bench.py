@@ -43,6 +43,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+MARKER = "<!-- hand-maintained sections below; scaling_bench.py preserves them -->"
 sys.path.insert(0, REPO)
 
 
@@ -213,7 +214,15 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # regenerate only the scaling-evidence prefix; everything at and below
+    # the marker is hand-maintained (skew, CC algorithm choice, SF=1 runs)
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(md_path):
+        prev = open(md_path).read()
+        if MARKER in prev:
+            tail = MARKER + prev.split(MARKER, 1)[1]
+    with open(md_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured engine numbers vs reference
 
@@ -265,7 +274,9 @@ Convergence-run numbers for this engine at SF=0.1 (full pipeline,
 per-round): see bench.py output / BENCH_r{{N}}.json — pagerank to
 L1 < 1e-6 on the parsed corpus graph, plus CC/LP/triangles and the
 pipeline operators.
+
 """
+            + tail
         )
 
 
