@@ -188,6 +188,16 @@ def q_lp_round3(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3).state
 
 
+def q_lp_round3_shuffle(spark, sf_dir):
+    """lp_round3 through the forced shuffle strategy (auto picks broadcast
+    at V=599) — oracle-gates LP's scale path: the two-stage mode combine
+    whose (dst, label) partial stage absorbs hub skew map-side."""
+    from duwamish_spark.algorithms import label_propagation
+
+    v, e = _graph(spark, sf_dir)
+    return label_propagation(spark, v, e, max_supersteps=3, strategy="shuffle").state
+
+
 def q_triangles_per_vertex(spark, sf_dir):
     from duwamish_spark.algorithms.triangles import triangle_count_per_vertex
     from duwamish_spark.graph import vertices_from
@@ -494,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_alternating": q_cc_alternating,
         "lp_round1": q_lp_round1,
         "lp_round3": q_lp_round3,
+        "lp_round3_shuffle": q_lp_round3_shuffle,
         "triangles_per_vertex": q_triangles_per_vertex,
         "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
@@ -739,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN (SELECT id, m FROM pick WHERE rn = 1) p ON p.id = v.id
         """,
         "lp_round3": _lp_chain_sql(3),
+        "lp_round3_shuffle": _lp_chain_sql(3),
         "triangles_per_vertex": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE},
             c AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst

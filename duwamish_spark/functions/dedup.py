@@ -166,6 +166,12 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return agg.select("id", F.expr(bit_terms).alias("simhash"))
 
 
+# above this row count the standalone inverted-index self-join is refused
+# (quadratic on a hot shingle) unless the caller opts in or passes a
+# pre-pruned candidate relation
+NGRAM_STANDALONE_MAX_DOCS = 100_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -173,19 +179,38 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    candidates: DataFrame | None = None,
+    allow_quadratic: bool = False,
+    standalone_max_docs: int = NGRAM_STANDALONE_MAX_DOCS,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs: (id_a, id_b, jaccard).
 
     Shingle-inverted-index self-join: pairs are generated only for docs
     sharing at least one shingle (never the all-pairs cross product), then
     |A ∩ B| is a count per pair and |A ∪ B| = |A| + |B| − |A ∩ B|. This is
-    the exact verifier for the MinHash approximation — at scale run it
-    only on MinHash candidate pairs; standalone it is quadratic in the
-    worst case (every doc sharing one hot shingle).
+    the exact verifier for the MinHash approximation; standalone it is
+    quadratic in the worst case (every doc sharing one hot shingle), so it
+    ENFORCES its own scale contract instead of trusting a docstring:
+
+    - ``candidates`` (id_a, id_b): verify only these pairs (the MinHash
+      band output — :func:`minhash_near_dups` does this wiring for you);
+      always safe, any scale.
+    - standalone above ``standalone_max_docs`` rows raises unless
+      ``allow_quadratic=True`` (one cheap count when no candidates given).
 
     ``id_a < id_b``; jaccard rounded to 6 places for stable comparison.
     """
     from duwamish_spark.functions.text import tokens_col
+
+    if candidates is None and not allow_quadratic:
+        n_docs = docs.count()
+        if n_docs > standalone_max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs standalone on {n_docs} docs exceeds "
+                f"standalone_max_docs={standalone_max_docs} (quadratic on a "
+                f"hot shingle). Pass candidates= (e.g. the MinHash band "
+                f"output) or allow_quadratic=True."
+            )
 
     toks = docs.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("t"))
     sh = toks.select(
@@ -198,14 +223,31 @@ def ngram_jaccard_pairs(
         ).alias("shingle"),
     ).where(F.length("shingle") > 0).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    if candidates is not None:
+        # verify-only mode: |A ∩ B| per given pair via two keyed joins —
+        # work is O(candidate pairs x shingles), never the inverted index
+        cand = candidates.select("id_a", "id_b").where(
+            F.col("id_a") < F.col("id_b")
+        ).distinct()
+        common = (
+            cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("sh_b")),
+                "id_b",
+            )
+            .where(F.col("shingle") == F.col("sh_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))

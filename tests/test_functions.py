@@ -105,6 +105,47 @@ def test_ngram_jaccard_exact(spark):
     assert got[("a", "b")] == pytest.approx(5 / 7, abs=1e-6)
 
 
+def test_ngram_jaccard_candidates_mode_and_guard(spark):
+    # the enforced scale contract: verify-only on given candidate pairs
+    # equals the standalone result restricted to those pairs; standalone
+    # above the doc cap refuses instead of going quadratic
+    from duwamish_spark.functions import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the dog"),
+            ("b", "the quick brown fox jumps over the cat"),
+            ("c", "the quick brown fox sits under the cat"),
+            ("d", "completely different words entirely here now"),
+        ],
+        "doc_id string, text string",
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.05).collect()
+    }
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "d")], "id_a string, id_b string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=3, threshold=0.05, candidates=cand
+        ).collect()
+    }
+    assert got == {("a", "b"): full[("a", "b")]}  # (a,d) below threshold
+
+    with pytest.raises(ValueError, match="standalone_max_docs"):
+        ngram_jaccard_pairs(docs, k=3, standalone_max_docs=2)
+    # explicit opt-in still works
+    assert (
+        ngram_jaccard_pairs(
+            docs, k=3, threshold=0.05, standalone_max_docs=2, allow_quadratic=True
+        ).count()
+        == len(full)
+    )
+
+
 def test_embedding_near_dups_exact_vs_lsh(spark):
     import numpy as np
 
