@@ -452,6 +452,18 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(_emb(spark, sf_dir), threshold=0.2)
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 7) via pigeonhole banding over
+    8-bit chunks — the keyed-join scale path, exact-verified with
+    bit_count(xor). Uses the md5 hash family so DuckDB recomputes the
+    identical 64 vote bits in ANSI SQL (the default xxhash64 family has
+    no SQL twin; semantics are identical, tested in pytest)."""
+    from duwamish_spark.functions import simhash_near_dups
+
+    out = simhash_near_dups(_docs(spark, sf_dir), max_hamming=7, family="md5")
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-dup pipeline at a recall-1 configuration (64
     bands x 1 row): a true pair at jaccard j is missed with probability
@@ -516,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred": q_lang_pred,
         "embedding_centroids": q_embedding_centroids,
         "knn_cosine": q_knn_cosine,
+        "simhash_near_dups": q_simhash_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
@@ -675,6 +688,41 @@ _RECOMMEND_ROUND4_SQL = """
 _ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _simhash_md5_sql(max_hamming: int) -> str:
+    """DuckDB twin of simhash_near_dups(family="md5"): same 64 vote bits
+    from md5(token) hex halves, exact all-pairs hamming (banding is a
+    Spark-side pruning detail — the relation is identical)."""
+    votes_lo = ", ".join(
+        f"sum(CASE WHEN (lo >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    votes_hi = ", ".join(
+        f"sum(CASE WHEN (hi >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS w{i}"
+        for i in range(32)
+    )
+    sim_lo = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(32)
+    )
+    sim_hi = " + ".join(
+        f"(CASE WHEN w{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+        h AS (SELECT doc_id,
+                     ('0x' || substring(md5(tok), 1, 8))::UINTEGER::BIGINT AS hi,
+                     ('0x' || substring(md5(tok), 9, 8))::UINTEGER::BIGINT AS lo
+              FROM t),
+        v AS (SELECT doc_id, {votes_lo}, {votes_hi} FROM h GROUP BY doc_id),
+        s AS (SELECT doc_id, {sim_lo} AS sim_lo, {sim_hi} AS sim_hi FROM v)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS hamming
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok_cte = (
         "t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
@@ -803,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, generate_series(0, 63) t(i)
             GROUP BY label, i
         """,
+        "simhash_near_dups": _simhash_md5_sql(7),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_near_dups": _NGRAM_JACCARD_SQL,
         "embedding_near_dups": """

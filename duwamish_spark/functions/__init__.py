@@ -11,6 +11,8 @@ from duwamish_spark.functions.dedup import (
     minhash_near_dups,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_dups,
+    simhash_parts,
 )
 from duwamish_spark.functions.similarity import (
     cosine_sim_col,
@@ -38,6 +40,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_near_dups",
     "simhash64",
+    "simhash_near_dups",
+    "simhash_parts",
     "ngram_jaccard_pairs",
     "embedding_near_dups",
     "cosine_sim_col",

@@ -172,6 +172,128 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 NGRAM_STANDALONE_MAX_DOCS = 100_000
 
 
+def simhash_parts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """(id, sim_hi, sim_lo) — 64-bit SimHash as two 32-bit halves.
+
+    Two halves instead of one long avoid 64-bit sign-overflow pitfalls in
+    both engines (``1 << 63`` wraps in Java and overflows DuckDB BIGINT),
+    and chunk extraction for banding never straddles word boundaries.
+
+    ``family``: per-token hash source for the 64 vote bits —
+    ``"xxhash64"`` (JVM-side, fastest, default) or ``"md5"`` (first 16
+    hex chars of md5(token); slower but expressible in ANSI SQL, which is
+    what makes the driver's DuckDB oracle possible).
+    """
+    from duwamish_spark.functions.text import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    if family == "md5":
+        md5 = F.md5("tok")
+        hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    elif family == "xxhash64":
+        h = F.xxhash64("tok")
+        hi = F.shiftrightunsigned(h, 32).bitwiseAND(F.lit(0xFFFFFFFF))
+        lo = h.bitwiseAND(F.lit(0xFFFFFFFF))
+    else:
+        raise ValueError(f"unknown simhash family {family!r}")
+    halves = toks.select("id", hi.alias("hi"), lo.alias("lo"))
+    votes = [
+        F.sum(F.shiftright(F.col(half), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+            f"{tag}{i}"
+        )
+        for half, tag in (("lo", "v"), ("hi", "w"))
+        for i in range(32)
+    ]
+    agg = halves.groupBy("id").agg(*votes)
+    mk = lambda tag: " + ".join(  # noqa: E731
+        f"(CASE WHEN {tag}{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(32)
+    )
+    return agg.select(
+        "id", F.expr(mk("w")).alias("sim_hi"), F.expr(mk("v")).alias("sim_lo")
+    )
+
+
+_CHUNK_COUNTS = (2, 4, 8, 16, 32, 64)
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs with SimHash Hamming distance ≤
+    ``max_hamming``, via pigeonhole banding (the scale path).
+
+    The 64 bits split into the smallest power-of-two chunk count
+    exceeding ``max_hamming``: a pair within distance d differs in at
+    most d chunks, so with > d chunks at least one chunk matches exactly
+    — candidates come from a keyed equality join on (chunk_idx,
+    chunk_value), never an all-pairs product; exact ``bit_count(xor)``
+    verifies. Low thresholds (tight near-dups) give wide chunks and sharp
+    pruning; at ``max_hamming`` ≥ 32 the chunks are ≤ 2 bits and banding
+    degenerates toward all-pairs — that regime is not a near-dup query.
+    """
+    n_chunks = next(c for c in _CHUNK_COUNTS if c > max_hamming)
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    parts = simhash_parts(docs, id_col, text_col, family)
+
+    def chunk_val(i: int):
+        start = i * width
+        src, off = ("sim_lo", start) if start < 32 else ("sim_hi", start - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(mask))
+
+    banded = parts.select(
+        "id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ci"), chunk_val(i).alias("cv"))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "sim_hi", "sim_lo", "ch.ci", "ch.cv")
+    a = banded.select(
+        F.col("id").alias("id_a"),
+        F.col("sim_hi").alias("ha"),
+        F.col("sim_lo").alias("la"),
+        "ci",
+        "cv",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("sim_hi").alias("hb"),
+        F.col("sim_lo").alias("lb"),
+        "ci",
+        "cv",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,

@@ -167,3 +167,39 @@ def test_embedding_near_dups_exact_vs_lsh(spark):
         for r in embedding_near_dups(emb, threshold=0.9, n_planes=4).collect()
     }
     assert lsh == exact
+
+
+def test_simhash_near_dups_pigeonhole_complete(spark):
+    # banding must find EVERY pair within the hamming threshold (pigeonhole
+    # guarantee), for both hash families; md5 family == xxhash64 family in
+    # structure (same votes machinery, different token hash)
+    from duwamish_spark.functions import simhash_near_dups, simhash_parts
+
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("b", "alpha beta gamma delta epsilon zeta eta iota"),   # near a
+        ("c", "alpha beta gamma delta epsilon zeta mu iota"),    # near b
+        ("d", "one two three four five six seven eight"),
+        ("e", "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for family in ("xxhash64", "md5"):
+        parts = {r["id"]: (r["sim_hi"], r["sim_lo"])
+                 for r in simhash_parts(docs, family=family).collect()}
+        def ham(x, y):
+            return bin((parts[x][0] ^ parts[y][0])).count("1") + bin(
+                (parts[x][1] ^ parts[y][1])).count("1")
+        ids = sorted(parts)
+        for threshold in (7, 15):
+            want = {
+                (x, y, ham(x, y))
+                for i, x in enumerate(ids) for y in ids[i + 1:]
+                if ham(x, y) <= threshold
+            }
+            got = {
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in simhash_near_dups(
+                    docs, max_hamming=threshold, family=family
+                ).collect()
+            }
+            assert got == want, (family, threshold)
