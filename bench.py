@@ -171,6 +171,14 @@ def main() -> None:
         minhash_near_dups(docs, threshold=0.5).count()
         queries["minhash_near_dups"] = round(time.monotonic() - t0, 3)
 
+        from duwamish_spark.functions import simhash_near_dups
+
+        t0 = time.monotonic()
+        n_sh = simhash_near_dups(docs, max_hamming=3).count()
+        extra["simhash_near_dups"] = {
+            "sec": round(time.monotonic() - t0, 3), "pairs": n_sh,
+        }
+
         from duwamish_spark.functions import decode_media, frame_sample, synth_media
 
         t0 = time.monotonic()
