@@ -371,6 +371,23 @@ def q_embedding_centroids(spark, sf_dir):
     return out.select("label", F.col("pos").cast("long").alias("pos"), "v")
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """IVF coarse quantizer: 2 deterministic Lloyd iterations (cosine
+    assignment, k=4, init = vectors of the 4 smallest ids) — the bucketing
+    stage of knn_cosine_ivf, oracle-checked value-exact via a chained-CTE
+    replay of both iterations in DuckDB."""
+    from duwamish_spark.functions import kmeans_centroids
+
+    cent = kmeans_centroids(_emb(spark, sf_dir), k=4, iters=2)
+    return cent.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.posexplode("centroid").alias("pos", "x"),
+    ).select(
+        "cluster", F.col("pos").cast("long").alias("pos"),
+        F.round("x", 6).alias("v"),
+    )
+
+
 def q_knn_cosine(spark, sf_dir):
     from duwamish_spark.functions import knn_cosine
 
@@ -528,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred": q_lang_pred,
         "embedding_centroids": q_embedding_centroids,
         "knn_cosine": q_knn_cosine,
+        "kmeans_centroids": q_kmeans_centroids,
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -686,6 +704,46 @@ _RECOMMEND_ROUND4_SQL = """
 # caches are parquet files both engines read, so their paths must resolve
 # at oracle-construction time — overridable for local runs at other SFs
 _ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _kmeans_sql(k: int, iters: int, dim: int = 64) -> str:
+    """DuckDB twin of kmeans_centroids(k, iters): same init (vectors of
+    the k smallest ids), cosine argmax assignment with smaller-cluster
+    tie-break, empty clusters keep their previous centroid."""
+    ctes = [
+        "pts AS (SELECT vec_id AS id, embedding AS v FROM embeddings)",
+        f"""init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v
+                     FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k}))""",
+        f"""c0 AS (SELECT cluster, i AS pos, v[i + 1]::DOUBLE AS m
+                   FROM init, generate_series(0, {dim - 1}) t(i))""",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""d{it} AS (SELECT p.id, c.cluster,
+                      sum(p.v[c.pos + 1]::DOUBLE * c.m) AS dot,
+                      sqrt(sum(p.v[c.pos + 1]::DOUBLE * p.v[c.pos + 1]::DOUBLE)) AS np,
+                      sqrt(sum(c.m * c.m)) AS nc
+               FROM pts p, {prev} c GROUP BY p.id, c.cluster)"""
+        )
+        ctes.append(
+            f"""a{it} AS (SELECT id, cluster FROM (
+                    SELECT id, cluster, row_number() OVER (
+                        PARTITION BY id ORDER BY dot / (np * nc) DESC, cluster ASC) AS rn
+                    FROM d{it}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""r{it} AS (SELECT a.cluster, t.i AS pos, avg(p.v[t.i + 1]::DOUBLE) AS m
+               FROM a{it} a JOIN pts p ON p.id = a.id, generate_series(0, {dim - 1}) t(i)
+               GROUP BY a.cluster, t.i)"""
+        )
+        ctes.append(
+            f"""c{it} AS (SELECT c.cluster, c.pos, coalesce(r.m, c.m) AS m
+               FROM {prev} c LEFT JOIN r{it} r
+               ON r.cluster = c.cluster AND r.pos = c.pos)"""
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT cluster, pos, round(m, 6) AS v FROM c{iters}")
 
 
 def _simhash_md5_sql(max_hamming: int) -> str:
@@ -851,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, generate_series(0, 63) t(i)
             GROUP BY label, i
         """,
+        "kmeans_centroids": _kmeans_sql(4, 2),
         "simhash_near_dups": _simhash_md5_sql(7),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_near_dups": _NGRAM_JACCARD_SQL,

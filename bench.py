@@ -214,6 +214,26 @@ def main() -> None:
             "fast": knn_lsh_recall(sample, k=3, n_planes=8, n_tables=8),
             "quality": knn_lsh_recall(sample, k=3, n_planes=6, n_tables=16),
         }
+
+        # IVF (k-means bucketed) — the other ANN scale path: recall vs
+        # brute on the same sample, probing 4 of 16 buckets (~25% scanned)
+        from duwamish_spark.functions import knn_cosine, knn_cosine_ivf
+
+        exact = knn_cosine(sample, k=3, strategy="brute").select(
+            "vec_id", "neighbor_id"
+        ).persist()
+        n_exact = exact.count()
+        t0 = time.monotonic()
+        ivf = knn_cosine_ivf(sample, k=3, n_centroids=16, n_probe=4).select(
+            "vec_id", "neighbor_id"
+        )
+        ivf_hits = exact.intersect(ivf).count()
+        extra["knn_ivf_recall_n1500"] = {
+            "recall": round(ivf_hits / max(n_exact, 1), 4),
+            "n_centroids": 16, "n_probe": 4,
+            "sec": round(time.monotonic() - t0, 3),
+        }
+        exact.unpersist()
         sample.unpersist()
 
     verts.unpersist()

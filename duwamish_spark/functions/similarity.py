@@ -169,6 +169,112 @@ def knn_cosine_lsh(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, centroid: array<double>) — deterministic Lloyd iterations
+    with cosine assignment (the IVF coarse quantizer).
+
+    Deterministic by construction so the result is oracle-checkable:
+    initial centroids are the vectors of the k smallest ids (one k-row
+    driver collect — the centroid table is tiny by definition), assignment
+    ties break toward the smaller cluster id, and a cluster that loses all
+    members keeps its previous centroid. Each iteration is one broadcast
+    cross join (k rows broadcast, never the points) + one posexplode
+    aggregation — both linear in points.
+    """
+    spark = emb.sparkSession
+    pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    init_rows = pts.orderBy("id").limit(k).collect()
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in r["v"]]) for i, r in enumerate(init_rows)],
+        "cluster int, centroid array<double>",
+    )
+    for _ in range(iters):
+        assigned = _assign_clusters(pts, cent)
+        sums = assigned.select(
+            "cluster", F.posexplode("v").alias("pos", "x")
+        ).groupBy("cluster", "pos").agg(
+            F.avg(F.col("x").cast("double")).alias("m")
+        )
+        new = sums.groupBy("cluster").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
+        ).select("cluster", F.transform("s", lambda st: st["m"]).alias("centroid"))
+        cent = (
+            cent.select("cluster", F.col("centroid").alias("_prev"))
+            .join(new, "cluster", "left")
+            .select("cluster", F.coalesce("centroid", "_prev").alias("centroid"))
+            .localCheckpoint(eager=True)  # k rows; cuts the iterative lineage
+        )
+    return cent
+
+
+def _assign_clusters(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, v, cluster) — nearest centroid by cosine, ties to smaller id."""
+    from pyspark.sql.window import Window
+
+    scored = pts.crossJoin(F.broadcast(cent)).select(
+        "id", "v", "cluster",
+        cosine_sim_col(F.col("v"), F.col("centroid")).alias("cs"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cluster").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", "v", "cluster")
+    )
+
+
+def knn_cosine_ivf(
+    emb: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: k-means coarse quantizer buckets the
+    vectors; each query scores only members of its ``n_probe`` nearest
+    buckets. The alternative scale path to LSH — candidates come from a
+    keyed join on cluster id, never an all-pairs product; recall grows
+    with ``n_probe`` (= brute force at n_probe = n_centroids)."""
+    from pyspark.sql.window import Window
+
+    cent = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
+    pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    members = _assign_clusters(pts, cent).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "cluster"
+    )
+    scored_c = pts.crossJoin(F.broadcast(cent)).select(
+        "id", "v", "cluster",
+        cosine_sim_col(F.col("v"), F.col("centroid")).alias("cs"),
+    )
+    wp = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cluster").asc())
+    probes = (
+        scored_c.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= n_probe)
+        .select(F.col("id").alias("vec_id"), F.col("v").alias("va"), "cluster")
+    )
+    pairs = probes.join(members, "cluster").where(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "vec_id", "neighbor_id",
+        cosine_sim_col(F.col("va"), F.col("vb")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .select("vec_id", "neighbor_id", "knn_rank", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
 def label_centroids(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

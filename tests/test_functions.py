@@ -203,3 +203,32 @@ def test_simhash_near_dups_pigeonhole_complete(spark):
                 ).collect()
             }
             assert got == want, (family, threshold)
+
+
+def test_knn_ivf_full_probe_equals_brute_and_finds_twin(spark):
+    import numpy as np
+
+    from duwamish_spark.functions import knn_cosine, knn_cosine_ivf
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    vecs[11] = vecs[5]  # exact twin
+    rows = [(f"v{i:02d}", [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+    brute = {
+        (r["vec_id"], r["knn_rank"]): r["neighbor_id"]
+        for r in knn_cosine(emb, k=2, strategy="brute").collect()
+    }
+    # probing every bucket makes IVF exhaustive -> identical to brute
+    full = {
+        (r["vec_id"], r["knn_rank"]): r["neighbor_id"]
+        for r in knn_cosine_ivf(emb, k=2, n_centroids=4, n_probe=4).collect()
+    }
+    assert full == brute
+    # a twin shares its own bucket, so even 1-probe IVF must find it
+    one = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in knn_cosine_ivf(emb, k=1, n_centroids=4, n_probe=1).collect()
+    }
+    assert one["v05"] == "v11" and one["v11"] == "v05"
