@@ -349,6 +349,20 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-style regex pre-tokenizer counts (lookahead-free pattern shared
+    verbatim by Spark's Java regex and DuckDB's RE2)."""
+    from duwamish_spark.functions import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_quality(spark, sf_dir):
+    from duwamish_spark.functions import doc_quality
+
+    return doc_quality(_docs(spark, sf_dir))
+
+
 LANG_MARKERS = {
     "en": ("the", "a"),
     "de": ("der", "die"),
@@ -542,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
         "doc_fingerprint": q_doc_fingerprint,
+        "bpe_token_stats": q_bpe_token_stats,
+        "doc_quality": q_doc_quality,
         "lang_pred": q_lang_pred,
         "embedding_centroids": q_embedding_centroids,
         "knn_cosine": q_knn_cosine,
@@ -894,6 +910,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) * 1.0
                          / count(*), 6) AS stop_ratio
             FROM t GROUP BY doc_id
+        """,
+
+        "bpe_token_stats": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS tok
+                       FROM documents)
+            SELECT doc_id, count(*) AS n_bpe_tokens,
+                   sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$|^''') THEN 1 ELSE 0 END) AS n_alpha,
+                   sum(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 ELSE 0 END) AS n_digit,
+                   count(*)
+                     - sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$|^''') THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 ELSE 0 END) AS n_punct
+            FROM t GROUP BY doc_id
+        """,
+        "doc_quality": f"""
+            WITH {tok_cte},
+            agg AS (SELECT doc_id, count(*) AS n_tokens,
+                           round(avg(length(tok)), 6) AS avg_token_len,
+                           round(sum(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) * 1.0
+                                 / count(*), 6) AS stop_ratio,
+                           round(sum(length(regexp_replace(tok, '[A-Za-z0-9]', '', 'g'))) * 1.0
+                                 / sum(length(tok)), 6) AS punct_ratio
+                    FROM t GROUP BY doc_id)
+            SELECT a.doc_id, length(d.text) AS n_chars, a.n_tokens, a.avg_token_len,
+                   a.stop_ratio, a.punct_ratio,
+                   round((least(a.n_tokens / 100.0, 1.0)
+                          + least(a.stop_ratio * 4.0, 1.0)
+                          + (1.0 - a.punct_ratio)) / 3.0, 6) AS quality
+            FROM agg a JOIN documents d ON d.doc_id = a.doc_id
         """,
         "doc_fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint

@@ -46,6 +46,83 @@ def stopword_ratio(
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-family shape, minus lookahead so
+# the SAME pattern runs in Spark's Java regex and DuckDB's RE2): common
+# English contractions, letter runs, digit runs, non-space punctuation runs
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens_col(text: str | Column = "text", pattern: str = BPE_PATTERN) -> Column:
+    """Regex pre-tokenization (the BPE-style splitter): array of matches.
+
+    Subword merge tables are model-specific; what a data pipeline needs at
+    scale is the PRE-tokenizer — this split is what BPE vocabularies are
+    trained over, and its token count is the standard length signal."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(pattern), 0)
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bpe_tokens, n_alpha, n_digit, n_punct) — regex-tokenizer
+    counts per class; the length/composition signal for quality filters."""
+    toks = docs.select(
+        id_col, F.explode(bpe_tokens_col(text_col)).alias("tok")
+    )
+    alpha = F.col("tok").rlike(r"^[A-Za-z]+$|^'").cast("int")
+    digit = F.col("tok").rlike(r"^[0-9]+$").cast("int")
+    return toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bpe_tokens"),
+        F.sum(alpha).alias("n_alpha"),
+        F.sum(digit).alias("n_digit"),
+        (F.count(F.lit(1)) - F.sum(alpha) - F.sum(digit)).alias("n_punct"),
+    )
+
+
+def doc_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len, stop_ratio, punct_ratio,
+    quality) — the composite quality-scoring signal over length, stopword
+    and punctuation ratios (each sub-signal is also exposed standalone).
+
+    quality = mean of three [0,1] subscores: length in a sane band
+    (n_tokens/100 capped at 1), stopword presence (stop_ratio*4 capped at
+    1 — natural prose contains stopwords), low punctuation (1 -
+    punct_ratio). Single groupBy over exploded tokens + one char count.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        tokens_col(text_col).alias("_t"),
+    )
+    toks = base.select(id_col, "n_chars", F.explode("_t").alias("tok"))
+    is_stop = F.col("tok").isin(*stopwords).cast("int")
+    n_punct_chars = F.length(F.regexp_replace("tok", r"[A-Za-z0-9]", ""))
+    agg = toks.groupBy(id_col).agg(
+        F.first("n_chars").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("tok")), 6).alias("avg_token_len"),
+        F.round(F.sum(is_stop) / F.count(F.lit(1)), 6).alias("stop_ratio"),
+        F.round(
+            F.sum(n_punct_chars) / F.sum(F.length("tok")), 6
+        ).alias("punct_ratio"),
+    )
+    q = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + F.least(F.col("stop_ratio") * 4.0, F.lit(1.0))
+        + (F.lit(1.0) - F.col("punct_ratio"))
+    ) / 3.0
+    return agg.select(
+        id_col, "n_chars", "n_tokens", "avg_token_len", "stop_ratio",
+        "punct_ratio", F.round(q, 6).alias("quality"),
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
