@@ -363,6 +363,16 @@ def q_doc_quality(spark, sf_dir):
     return doc_quality(_docs(spark, sf_dir))
 
 
+def q_rolling_fingerprints(spark, sf_dir):
+    """Winnowed rolling-hash fingerprints (MOSS-style local-similarity
+    dedup primitive); md5-derived k-gram hashes so DuckDB reproduces the
+    identical fingerprint set."""
+    from duwamish_spark.functions import rolling_fingerprints
+
+    out = rolling_fingerprints(_docs(spark, sf_dir), k=8, window=4)
+    return out.select(F.col("id").alias("doc_id"), "fp")
+
+
 LANG_MARKERS = {
     "en": ("the", "a"),
     "de": ("der", "die"),
@@ -556,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
         "doc_fingerprint": q_doc_fingerprint,
+        "rolling_fingerprints": q_rolling_fingerprints,
         "bpe_token_stats": q_bpe_token_stats,
         "doc_quality": q_doc_quality,
         "lang_pred": q_lang_pred,
@@ -939,6 +950,20 @@ def oracle_sql() -> dict[str, str]:
                           + least(a.stop_ratio * 4.0, 1.0)
                           + (1.0 - a.punct_ratio)) / 3.0, 6) AS quality
             FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+        """,
+        "rolling_fingerprints": r"""
+            WITH n AS (SELECT doc_id,
+                              regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         [('0x' || substring(md5(t[i + 1 : i + 8]), 1, 8))::UINTEGER::BIGINT
+                          FOR i IN generate_series(0, greatest(length(t) - 8, 0))] AS hs
+                  FROM n),
+            w AS (SELECT doc_id,
+                         [list_aggregate(hs[i + 1 : i + 4], 'min')
+                          FOR i IN generate_series(0, greatest(len(hs) - 4, 0))] AS fps
+                  FROM h)
+            SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
         """,
         "doc_fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint

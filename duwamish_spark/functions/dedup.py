@@ -172,6 +172,48 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 NGRAM_STANDALONE_MAX_DOCS = 100_000
 
 
+def rolling_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fp) — winnowed rolling-hash document fingerprints
+    (MOSS-style): hash every character k-gram of the whitespace-normalized
+    text, keep the minimum of each sliding window of ``window`` hashes,
+    distinct. Any two documents sharing a run of ≥ k+window-1 characters
+    share at least one fingerprint — the local-similarity dedup primitive
+    (plagiarism / near-dup detection by keyed join on fp).
+
+    All per-row array expressions (JVM, whole-stage codegen); the k-gram
+    hash is the first 8 hex chars of md5 so an ANSI-SQL oracle computes
+    the identical fingerprints.
+    """
+    kg, w = int(k), int(window)
+    return (
+        docs.selectExpr(
+            f"{id_col} AS id",
+            f"regexp_replace(trim({text_col}), '\\\\s+', ' ') AS _norm",
+        )
+        .selectExpr(
+            "id",
+            f"""transform(
+                    sequence(0, greatest(length(_norm) - {kg}, 0)),
+                    i -> cast(conv(substring(md5(substring(_norm, i + 1, {kg})), 1, 8), 16, 10) AS bigint)
+                ) AS _h""",
+        )
+        .selectExpr(
+            "id",
+            f"""explode(array_distinct(transform(
+                    sequence(0, greatest(size(_h) - {w}, 0)),
+                    i -> array_min(slice(_h, i + 1, {w}))
+                ))) AS fp""",
+        )
+    )
+
+
 def simhash_parts(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -232,3 +232,25 @@ def test_knn_ivf_full_probe_equals_brute_and_finds_twin(spark):
         for r in knn_cosine_ivf(emb, k=1, n_centroids=4, n_probe=1).collect()
     }
     assert one["v05"] == "v11" and one["v11"] == "v05"
+
+
+def test_rolling_fingerprints_winnowing_guarantee(spark):
+    # MOSS winnowing property: two docs sharing a character run of at
+    # least k + window - 1 (= 11) share >= 1 fingerprint; disjoint docs
+    # share none
+    from duwamish_spark.functions import rolling_fingerprints
+
+    shared = "identical plagiarized passage here"
+    docs = spark.createDataFrame(
+        [
+            ("a", "some unique prefix text " + shared),
+            ("b", shared + " followed by other words"),
+            ("c", "nothing in common with either document at all"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = {}
+    for r in rolling_fingerprints(docs, k=8, window=4).collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps["a"] & fps["b"], "shared passage must share a fingerprint"
+    assert not (fps["a"] & fps["c"]) and not (fps["b"] & fps["c"])
