@@ -91,6 +91,51 @@ def streaming_edge_rates(
     )
 
 
+def streaming_dedup(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: emit each document the FIRST time its
+    content hash is seen, across micro-batches — the custom stateful
+    operator surface (``applyInPandasWithState``): one state entry per
+    content hash in the streaming state store, checkpointed like all
+    other state, so the dedup survives restarts and the corpus only ever
+    pays for first occurrences downstream.
+
+    Output: (doc_id, text_hash) of first occurrences, append mode.
+    Within a batch, ties break to the smallest doc_id (deterministic).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = docs_stream.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("text_hash"),
+    )
+
+    def first_occurrence(key, pdfs, state):
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf["doc_id"].astype(str).min()
+                best = cand if best is None or cand < best else best
+        if best is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame({"doc_id": [best], "text_hash": [key[0]]})
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        first_occurrence,
+        outputStructType="doc_id string, text_hash string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_table(
     stream: DataFrame,
     table_name: str,

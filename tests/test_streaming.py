@@ -145,3 +145,53 @@ def test_streaming_edge_rates_window(spark, tmp_path):
         for r in spark.sql("SELECT * FROM rates_t").collect()
     }
     assert got == {"2026-01-01 00:00:00": 2, "2026-01-01 00:00:10": 2}
+
+
+def test_streaming_dedup_first_occurrence_across_batches(spark, tmp_path):
+    """applyInPandasWithState exact dedup: one state row per content hash
+    in the state store; duplicates are dropped both within a micro-batch
+    and across micro-batches (state survives via the checkpoint)."""
+    from duwamish_spark.streaming import streaming_dedup
+
+    d = tmp_path / "dd_docs"
+    ck = tmp_path / "dd_ck"
+    out = tmp_path / "dd_out"
+    d.mkdir()
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .parquet(str(d))
+        )
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["doc_id"], r["text_hash"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    import pandas as pd
+
+    # plain parquet FILES (not Spark output dirs): the streaming file
+    # source lists files, it does not recurse into subdirectories
+    pd.DataFrame(
+        [("d1", "alpha"), ("d2", "beta"), ("d3", "alpha")],  # d3 dups d1
+        columns=["doc_id", "text"],
+    ).to_parquet(str(d / "b0.parquet"), index=False)
+    got0 = drain()
+    assert {x[0] for x in got0} == {"d1", "d2"}
+
+    # batch 1: dup of beta (cross-batch) + genuinely new gamma
+    pd.DataFrame(
+        [("d4", "beta"), ("d5", "gamma")], columns=["doc_id", "text"]
+    ).to_parquet(str(d / "b1.parquet"), index=False)
+    got1 = drain()
+    assert {x[0] for x in got1} == {"d1", "d2", "d5"}
