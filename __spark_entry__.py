@@ -801,7 +801,7 @@ def _simhash_md5_sql(max_hamming: int) -> str:
         v AS (SELECT doc_id, {votes_lo}, {votes_hi} FROM h GROUP BY doc_id),
         s AS (SELECT doc_id, {sim_lo} AS sim_lo, {sim_hi} AS sim_hi FROM v)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS hamming
+               (bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)))::BIGINT AS hamming
         FROM s a, s b
         WHERE a.doc_id < b.doc_id
           AND bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= {max_hamming}
@@ -928,11 +928,11 @@ def oracle_sql() -> dict[str, str]:
                               unnest(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS tok
                        FROM documents)
             SELECT doc_id, count(*) AS n_bpe_tokens,
-                   sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$|^''') THEN 1 ELSE 0 END) AS n_alpha,
-                   sum(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 ELSE 0 END) AS n_digit,
-                   count(*)
+                   sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$|^''') THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+                   sum(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 ELSE 0 END)::BIGINT AS n_digit,
+                   (count(*)
                      - sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$|^''') THEN 1 ELSE 0 END)
-                     - sum(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 ELSE 0 END) AS n_punct
+                     - sum(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 ELSE 0 END))::BIGINT AS n_punct
             FROM t GROUP BY doc_id
         """,
         "doc_quality": f"""
