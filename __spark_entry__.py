@@ -839,15 +839,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, sha256(content) AS sha256
             FROM read_parquet('{corpus_file}')
         """
-    except OSError:
+    except Exception:
         pass
     try:
         if os.path.exists(os.path.join(_ORACLE_SF_DIR, "documents.parquet")):
             out["media_decode"] = _MEDIA_SQL_TEMPLATE.format(
                 path=_media_parquet(_ORACLE_SF_DIR)
             )
-    except OSError:
+    except Exception:
         pass
+    if os.path.basename(_ORACLE_SF_DIR.rstrip("/")) == "sf0.01":
+        # the pinned step count is a property of THIS graph; at any other
+        # SF the engine halts elsewhere, so omit the oracle (rows-only)
+        # rather than compare against a wrong-length replay
+        out["pagerank_converged"] = _pagerank_chain_sql(
+            PAGERANK_CONVERGED_STEPS_SF001
+        )
     out.update({
         "graph_out_degree": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE}
@@ -863,7 +870,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_fixed10": _pagerank_chain_sql(10),
         "pagerank_fixed10_shuffle": _pagerank_chain_sql(10),
-        "pagerank_converged": _pagerank_chain_sql(PAGERANK_CONVERGED_STEPS_SF001),
         "cc_round1": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
             mins AS (SELECT dst AS id, min(src) AS mn FROM sym GROUP BY dst)

@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from duwamish_spark.graph import decode_state, prepare_encoding, symmetrize
-from duwamish_spark.pregel import Pregel, PregelResult, combine_messages
+from duwamish_spark.pregel import (
+    Pregel,
+    PregelResult,
+    combine_messages,
+    free_local_checkpoint,
+)
 
 
 def _cc_update(state: DataFrame, mins: DataFrame) -> DataFrame:
@@ -147,11 +152,7 @@ def connected_components_alternating(
         # keep only the last 2 checkpointed edge sets in block-manager
         # storage (mirrors Pregel.run's cached-list cleanup)
         while len(cached) > 2:
-            old = cached.pop(0)
-            try:
-                old.rdd.unpersist(False)
-            except Exception:
-                pass
+            free_local_checkpoint(cached.pop(0))
         sig_row = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.hash("src", "dst").cast("long")).alias("h"),
@@ -230,7 +231,7 @@ def connected_components(
             num_partitions=num_partitions, salt=salt,
             halt_interval=halt_interval, strategy=strategy, encode=encode,
             broadcast_max_vertices=broadcast_max_vertices, resume=resume,
-            algorithm="hashmin", partitioner=partitioner,
+            algorithm="hashmin", partitioner=partitioner, combine=combine,
         )
         if probe.halted:
             return probe

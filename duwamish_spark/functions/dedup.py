@@ -287,6 +287,11 @@ def simhash_near_dups(
     pruning; at ``max_hamming`` ≥ 32 the chunks are ≤ 2 bits and banding
     degenerates toward all-pairs — that regime is not a near-dup query.
     """
+    if not 0 <= max_hamming < 64:
+        raise ValueError(
+            f"max_hamming must be in [0, 64); got {max_hamming} — at >= 64 "
+            f"every pair matches and banding has no pruning power"
+        )
     n_chunks = next(c for c in _CHUNK_COUNTS if c > max_hamming)
     width = 64 // n_chunks
     mask = (1 << width) - 1
@@ -390,9 +395,16 @@ def ngram_jaccard_pairs(
     if candidates is not None:
         # verify-only mode: |A ∩ B| per given pair via two keyed joins —
         # work is O(candidate pairs x shingles), never the inverted index
-        cand = candidates.select("id_a", "id_b").where(
-            F.col("id_a") < F.col("id_b")
-        ).distinct()
+        # normalize pair order (callers may not guarantee id_a < id_b);
+        # self-pairs are meaningless and dropped
+        cand = (
+            candidates.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
         common = (
             cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
             .join(

@@ -247,18 +247,20 @@ def knn_cosine_ivf(
 
     cent = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
     pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    members = _assign_clusters(pts, cent).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "cluster"
-    )
+    # ONE points-x-centroids pass ranks every (point, cluster): rank 1 is
+    # the membership assignment, ranks <= n_probe are the probe set —
+    # avoids scoring the n*k cross join twice
     scored_c = pts.crossJoin(F.broadcast(cent)).select(
         "id", "v", "cluster",
         cosine_sim_col(F.col("v"), F.col("centroid")).alias("cs"),
     )
     wp = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cluster").asc())
-    probes = (
-        scored_c.withColumn("_rn", F.row_number().over(wp))
-        .where(F.col("_rn") <= n_probe)
-        .select(F.col("id").alias("vec_id"), F.col("v").alias("va"), "cluster")
+    ranked = scored_c.withColumn("_rn", F.row_number().over(wp)).persist()
+    members = ranked.where(F.col("_rn") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "cluster"
+    )
+    probes = ranked.where(F.col("_rn") <= n_probe).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("va"), "cluster"
     )
     pairs = probes.join(members, "cluster").where(
         F.col("vec_id") != F.col("neighbor_id")

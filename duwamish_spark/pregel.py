@@ -52,6 +52,24 @@ _ALGEBRAIC: dict[str, tuple[Callable[..., Column], Callable[..., Column]]] = {
 }
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint'ed DataFrame's storage blocks NOW.
+
+    Neither ``df.unpersist()`` (CacheManager only) nor ``df.rdd.unpersist()``
+    (a fresh conversion RDD, not the holder) touches the blocks — they
+    belong to the internal RDD inside the plan's ``LogicalRDD`` node, so
+    without this they linger until the ContextCleaner happens to GC the
+    reference (verified empirically via getRDDStorageInfo). Best-effort:
+    silently a no-op if the plan isn't a bare LogicalRDD.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def salt_subkey(value_cols: list[Column], salt: int) -> Column:
     """Reducer sub-key in [0, salt) for splitting a hot destination.
 
@@ -341,11 +359,7 @@ class Pregel:
 
                 # free local checkpoints older than 2 supersteps
                 while len(cached) > 2:
-                    old = cached.pop(0)
-                    try:
-                        old.rdd.unpersist(False)
-                    except Exception:
-                        pass
+                    free_local_checkpoint(cached.pop(0))
 
                 state = new_state
                 if halted:

@@ -124,8 +124,10 @@ def test_ngram_jaccard_candidates_mode_and_guard(spark):
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in ngram_jaccard_pairs(docs, k=3, threshold=0.05).collect()
     }
+    # ("b", "a") is deliberately REVERSED: the verify mode must
+    # normalize pair order, not silently drop unordered input
     cand = spark.createDataFrame(
-        [("a", "b"), ("a", "d")], "id_a string, id_b string"
+        [("b", "a"), ("a", "d")], "id_a string, id_b string"
     )
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
