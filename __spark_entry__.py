@@ -730,7 +730,17 @@ _RECOMMEND_ROUND4_SQL = """
 # the driver's correctness gate runs at this SF; the media/corpus oracle
 # caches are parquet files both engines read, so their paths must resolve
 # at oracle-construction time — overridable for local runs at other SFs
-_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", DEFAULT_ORACLE_SF_DIR)
+
+# queries() keys whose oracle_sql() entries are legitimately conditional on
+# the configured oracle SF dir / cache availability: omitting one downgrades
+# the driver gate to rows-only for that query (with a warning), it is not a
+# construction bug. The entry-contract test tolerates exactly these at
+# non-default SF dirs and nothing else.
+CONDITIONAL_ORACLES = frozenset(
+    {"parse_edges", "content_sha256", "media_decode", "pagerank_converged"}
+)
 
 
 def _kmeans_sql(k: int, iters: int, dim: int = 64) -> str:
@@ -829,8 +839,13 @@ def oracle_sql() -> dict[str, str]:
     # Guarded construction (no hard failure, no surprise side effects at
     # other SFs): if the shared parquet caches cannot be built — e.g. the
     # gate SF's documents table is absent — the affected entries are
-    # OMITTED (the driver then records a rows-only check for them) instead
-    # of poisoning every other oracle with an exception.
+    # OMITTED (the driver then records a rows-only check for them), with a
+    # visible warning naming them, instead of poisoning every other oracle
+    # with an exception. Only environment-shaped failures (missing files,
+    # bad paths, unavailable libs) are downgraded; a genuine construction
+    # bug (TypeError/KeyError/...) still raises.
+    import warnings
+
     out: dict[str, str] = {}
     try:
         corpus_file = _ensure_entry_corpus()
@@ -839,15 +854,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, sha256(content) AS sha256
             FROM read_parquet('{corpus_file}')
         """
-    except Exception:
-        pass
+    except (OSError, ValueError, RuntimeError, ImportError) as exc:
+        warnings.warn(
+            f"oracle_sql: omitting parse_edges/content_sha256 oracles "
+            f"(corpus cache unavailable: {exc!r}) — driver gate downgrades "
+            f"them to rows-only",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     try:
         if os.path.exists(os.path.join(_ORACLE_SF_DIR, "documents.parquet")):
             out["media_decode"] = _MEDIA_SQL_TEMPLATE.format(
                 path=_media_parquet(_ORACLE_SF_DIR)
             )
-    except Exception:
-        pass
+    except (OSError, ValueError, RuntimeError, ImportError) as exc:
+        warnings.warn(
+            f"oracle_sql: omitting media_decode oracle (media cache "
+            f"unavailable: {exc!r}) — driver gate downgrades it to rows-only",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if os.path.basename(_ORACLE_SF_DIR.rstrip("/")) == "sf0.01":
         # the pinned step count is a property of THIS graph; at any other
         # SF the engine halts elsewhere, so omit the oracle (rows-only)

@@ -85,6 +85,10 @@ def connected_components_alternating(
     max_rounds: int = 50,
     num_partitions: int | None = None,
     encode: bool = True,
+    checkpoint_dir: str | None = None,
+    run_id: str = "cc_alternating",
+    reliable_interval: int = 10,
+    resume: bool = False,
 ) -> PregelResult:
     """CC via alternating large-star / small-star edge rewriting.
 
@@ -101,11 +105,40 @@ def connected_components_alternating(
     contract as :func:`connected_components`: (id, label = component min),
     exact. Each round is two groupBy/join passes over the current edge
     set; the set only shrinks (toward one edge per non-root vertex).
+
+    ``checkpoint_dir``/``run_id``/``reliable_interval``/``resume`` mirror
+    the Pregel driver's durable-checkpoint contract: the CURRENT EDGE SET
+    (this algorithm's whole loop state) is written to parquet with a
+    ``_MANIFEST.json`` every ``reliable_interval`` rounds, and
+    ``resume=True`` restarts from the latest complete manifest — so
+    ``algorithm="auto"``'s fallback phase is resumable like the hash-min
+    probe phase.
     """
+    import json
+    import os
+
     mapping = None
     verts, e = vertices, edges
     if encode:
         mapping, verts, e = prepare_encoding(spark, vertices, edges, num_partitions)
+
+    ckpt_root = os.path.join(checkpoint_dir, run_id) if checkpoint_dir else None
+
+    def _round_path(r: int) -> str:
+        assert ckpt_root
+        return os.path.join(ckpt_root, f"round={r:05d}")
+
+    def _latest_round() -> int | None:
+        if not ckpt_root or not os.path.isdir(ckpt_root):
+            return None
+        best = None
+        for name in os.listdir(ckpt_root):
+            if name.startswith("round=") and os.path.exists(
+                os.path.join(ckpt_root, name, "_MANIFEST.json")
+            ):
+                r = int(name.split("=")[1])
+                best = r if best is None or r > best else best
+        return best
 
     def _sym(pairs: DataFrame) -> DataFrame:
         p = pairs.where(F.col("src") != F.col("dst"))
@@ -118,16 +151,36 @@ def connected_components_alternating(
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
 
-    cur = _sym(e.select("src", "dst"))
-    if num_partitions:
-        cur = cur.repartition(num_partitions, "src")
-    cur = cur.localCheckpoint(eager=True)
-    cached: list[DataFrame] = [cur]
     prev_sig = None
     rounds = 0
     converged = False
     metrics_hist: list[dict] = []
-    for rounds in range(1, max_rounds + 1):
+    start_round = 1
+
+    resumed = None
+    if resume and ckpt_root:
+        latest = _latest_round()
+        if latest is not None:
+            with open(os.path.join(_round_path(latest), "_MANIFEST.json")) as f:
+                manifest = json.load(f)
+            resumed = spark.read.parquet(_round_path(latest))
+            prev_sig = tuple(manifest["sig"]) if manifest.get("sig") else None
+            metrics_hist = manifest.get("metrics_history", [])
+            converged = bool(manifest.get("converged"))
+            rounds = latest
+            start_round = latest + 1
+
+    if resumed is not None:
+        cur = resumed.localCheckpoint(eager=True)
+    else:
+        cur = _sym(e.select("src", "dst"))
+        if num_partitions:
+            cur = cur.repartition(num_partitions, "src")
+        cur = cur.localCheckpoint(eager=True)
+    cached: list[DataFrame] = [cur]
+    if converged:
+        start_round = max_rounds + 1  # resumed at a converged manifest: no work left
+    for rounds in range(start_round, max_rounds + 1):
         # large-star: (v, m(u)) for v in N(u), v > u
         m = _min_nbr(cur)
         large = (
@@ -159,10 +212,31 @@ def connected_components_alternating(
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         metrics_hist.append({"superstep": rounds - 1, "edge_pairs": sig[0]})
-        if sig == prev_sig:
-            converged = True
-            break
+        converged = sig == prev_sig
         prev_sig = sig
+        if ckpt_root and (
+            rounds % reliable_interval == 0 or converged or rounds == max_rounds
+        ):
+            path = _round_path(rounds)
+            cur.write.mode("overwrite").parquet(path)
+            part_counts = {
+                str(r["pid"]): r["cnt"]
+                for r in cur.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            manifest = {
+                "run_id": run_id,
+                "round": rounds,
+                "sig": list(sig),
+                "converged": converged,
+                "partition_edge_counts": part_counts,
+                "metrics_history": metrics_hist,
+            }
+            with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f, default=str)
+        if converged:
+            break
 
     if not converged:
         import warnings
@@ -178,7 +252,7 @@ def connected_components_alternating(
     state = verts.join(nbr_min, "id", "left").select(
         "id", F.least("id", F.coalesce("mn", "id")).alias("label")
     )
-    res = PregelResult(state, rounds, metrics_hist, converged, "cc_alternating")
+    res = PregelResult(state, rounds, metrics_hist, converged, run_id)
     if mapping is not None:
         res.state = decode_state(res.state, mapping, ("id", "label"))
     return res
@@ -218,6 +292,12 @@ def connected_components(
       inside it); if the budget is exhausted without convergence the graph
       is high-diameter, so finish with the O(log n) alternating
       large-star/small-star algorithm instead of paying O(diameter).
+      With ``checkpoint_dir`` set, BOTH phases checkpoint durably (the
+      fallback under ``run_id + "_alt"``) and ``resume=True`` resumes
+      whichever phase last wrote a manifest: a completed-but-unhalted
+      hash-min probe re-runs its (budget-capped) supersteps from its own
+      latest checkpoint before handing the edge set to the fallback, which
+      then resumes from its latest round.
     """
     if algorithm == "auto":
         import math
@@ -238,6 +318,8 @@ def connected_components(
         return connected_components_alternating(
             spark, vertices, edges,
             num_partitions=num_partitions, encode=encode,
+            checkpoint_dir=checkpoint_dir, run_id=run_id + "_alternating",
+            reliable_interval=reliable_interval, resume=resume,
         )
 
     mapping = None

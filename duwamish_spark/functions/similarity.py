@@ -9,8 +9,12 @@ Everything is built-in higher-order functions (``zip_with`` /
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -52,6 +56,7 @@ def knn_cosine(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 11,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(vec_id, neighbor_id, knn_rank, cos_sim) — cosine top-k.
 
@@ -59,12 +64,21 @@ def knn_cosine(
 
     ``strategy``: ``"brute"`` = exact all-pairs (O(n²) — correctness
     baseline / small-N); ``"lsh"`` = :func:`knn_cosine_lsh` (bucketed,
-    the 100 TB path, approximate); ``"auto"`` (default) counts rows once
-    and picks brute below ``lsh_threshold``, LSH above — the default plan
-    is never all-pairs at scale.
+    the 100 TB path, approximate); ``"auto"`` (default) picks brute below
+    ``lsh_threshold`` rows, LSH above — the default plan is never
+    all-pairs at scale. NOTE: without ``n_rows``, auto runs an eager
+    ``emb.count()`` job (re-executing the upstream plan if uncached) and
+    switches results from exact to approximate past the threshold; pass
+    ``n_rows`` when the cardinality is already known to skip the probe.
+    The chosen strategy is logged at INFO.
     """
     if strategy == "auto":
-        strategy = "brute" if emb.count() <= lsh_threshold else "lsh"
+        n = n_rows if n_rows is not None else emb.count()
+        strategy = "brute" if n <= lsh_threshold else "lsh"
+        logger.info(
+            "knn_cosine auto: %d rows vs threshold %d -> %s",
+            n, lsh_threshold, strategy,
+        )
     if strategy == "lsh":
         return knn_cosine_lsh(
             emb, k=k, n_planes=n_planes, seed=seed,
@@ -194,6 +208,8 @@ def kmeans_centroids(
         [(i, [float(x) for x in r["v"]]) for i, r in enumerate(init_rows)],
         "cluster int, centroid array<double>",
     )
+    from duwamish_spark.pregel import free_local_checkpoint
+
     for _ in range(iters):
         assigned = _assign_clusters(pts, cent)
         sums = assigned.select(
@@ -204,12 +220,14 @@ def kmeans_centroids(
         new = sums.groupBy("cluster").agg(
             F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
         ).select("cluster", F.transform("s", lambda st: st["m"]).alias("centroid"))
+        prev = cent
         cent = (
             cent.select("cluster", F.col("centroid").alias("_prev"))
             .join(new, "cluster", "left")
             .select("cluster", F.coalesce("centroid", "_prev").alias("centroid"))
             .localCheckpoint(eager=True)  # k rows; cuts the iterative lineage
         )
+        free_local_checkpoint(prev)  # superseded k-row block (no-op on iter 1)
     return cent
 
 
@@ -242,7 +260,12 @@ def knn_cosine_ivf(
     vectors; each query scores only members of its ``n_probe`` nearest
     buckets. The alternative scale path to LSH — candidates come from a
     keyed join on cluster id, never an all-pairs product; recall grows
-    with ``n_probe`` (= brute force at n_probe = n_centroids)."""
+    with ``n_probe`` (= brute force at n_probe = n_centroids).
+
+    Returns an eagerly materialized (localCheckpoint) result so the
+    intermediate ranked (point, cluster) cache — O(n*n_centroids) rows —
+    can be unpersisted before returning instead of pinning block-manager
+    storage for the session's lifetime."""
     from pyspark.sql.window import Window
 
     cent = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
@@ -256,25 +279,41 @@ def knn_cosine_ivf(
     )
     wp = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cluster").asc())
     ranked = scored_c.withColumn("_rn", F.row_number().over(wp)).persist()
-    members = ranked.where(F.col("_rn") == 1).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "cluster"
-    )
-    probes = ranked.where(F.col("_rn") <= n_probe).select(
-        F.col("id").alias("vec_id"), F.col("v").alias("va"), "cluster"
-    )
-    pairs = probes.join(members, "cluster").where(
-        F.col("vec_id") != F.col("neighbor_id")
-    )
-    scored = pairs.select(
-        "vec_id", "neighbor_id",
-        cosine_sim_col(F.col("va"), F.col("vb")).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("knn_rank", F.row_number().over(w))
-        .where(F.col("knn_rank") <= k)
-        .select("vec_id", "neighbor_id", "knn_rank", F.round("sim", 4).alias("cos_sim"))
-    )
+    try:
+        members = ranked.where(F.col("_rn") == 1).select(
+            F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "cluster"
+        )
+        probes = ranked.where(F.col("_rn") <= n_probe).select(
+            F.col("id").alias("vec_id"), F.col("v").alias("va"), "cluster"
+        )
+        pairs = probes.join(members, "cluster").where(
+            F.col("vec_id") != F.col("neighbor_id")
+        )
+        scored = pairs.select(
+            "vec_id", "neighbor_id",
+            cosine_sim_col(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        out = (
+            scored.withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .select(
+                "vec_id", "neighbor_id", "knn_rank",
+                F.round("sim", 4).alias("cos_sim"),
+            )
+        )
+        # materialize the (n*k)-row result so unpersisting `ranked` below
+        # cannot force a recompute in the caller's later action
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranked.unpersist()
+        # the quantizer's final k-row localCheckpoint is no longer needed
+        # once the result is materialized
+        from duwamish_spark.pregel import free_local_checkpoint
+
+        free_local_checkpoint(cent)
 
 
 def label_centroids(
@@ -298,13 +337,16 @@ def embedding_near_dups(
     auto_planes: int = 16,
     n_tables: int = 8,
     seed: int = 11,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim >= t).
 
-    ``n_planes=None`` (default, auto): counts rows once — exact all-pairs
-    below ``lsh_threshold`` (the verifier / small-N path), LSH with
+    ``n_planes=None`` (default, auto): exact all-pairs below
+    ``lsh_threshold`` rows (the verifier / small-N path), LSH with
     ``auto_planes`` hyperplanes above it, so the default plan is never
-    all-pairs at scale.
+    all-pairs at scale. Without ``n_rows`` this runs one eager
+    ``emb.count()`` probe job; pass ``n_rows`` when known to skip it.
+    The chosen path is logged at INFO.
     ``n_planes=0``: force exact all-pairs. ``n_planes>0``: force the
     LSH-bucketed path — random-hyperplane signatures prune the pair space
     first (same bucket => candidate), then exact cosine on candidates
@@ -312,7 +354,12 @@ def embedding_near_dups(
     ``id_a < id_b``; cos_sim rounded to 6 places.
     """
     if n_planes is None:
-        n_planes = 0 if emb.count() <= lsh_threshold else auto_planes
+        n = n_rows if n_rows is not None else emb.count()
+        n_planes = 0 if n <= lsh_threshold else auto_planes
+        logger.info(
+            "embedding_near_dups auto: %d rows vs threshold %d -> %s",
+            n, lsh_threshold, "exact" if n_planes == 0 else f"lsh({n_planes})",
+        )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if n_planes:

@@ -140,3 +140,50 @@ def test_alternating_edge_cases(spark):
     assert {r["id"]: r["label"] for r in res2.state.collect()} == {
         "a": "a", "b": "b", "c": "b"
     }
+
+
+def test_alternating_checkpoint_resume(spark, tmp_path):
+    # the auto fallback phase is resumable: run to convergence writing
+    # durable round checkpoints, then resume from an EARLIER round manifest
+    # and from the converged manifest -- identical labels both ways
+    from duwamish_spark.algorithms.components import connected_components_alternating
+
+    ids = [f"{i:04d}" for i in range(120)]
+    edges = [(ids[i], ids[i + 1]) for i in range(119)]  # one long path
+    v, e = vertices_df(spark, ids), edges_df(spark, edges)
+    ck = str(tmp_path / "ck")
+
+    full = connected_components_alternating(
+        spark, v, e, checkpoint_dir=ck, run_id="alt", reliable_interval=1
+    )
+    want = {r["id"]: r["label"] for r in full.state.collect()}
+    assert full.halted and want == {i: "0000" for i in ids}
+
+    import os
+    import shutil
+
+    root = os.path.join(ck, "alt")
+    rounds = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(root)
+        if n.startswith("round=")
+    )
+    assert len(rounds) >= 2
+    # drop everything after round 1 to force a real mid-run resume
+    for r in rounds[1:]:
+        shutil.rmtree(os.path.join(root, f"round={r:05d}"))
+    resumed = connected_components_alternating(
+        spark, v, e, checkpoint_dir=ck, run_id="alt",
+        reliable_interval=1, resume=True,
+    )
+    assert resumed.halted
+    assert {r["id"]: r["label"] for r in resumed.state.collect()} == want
+
+    # resuming at the converged manifest returns immediately with the
+    # same labels
+    again = connected_components_alternating(
+        spark, v, e, checkpoint_dir=ck, run_id="alt",
+        reliable_interval=1, resume=True,
+    )
+    assert again.halted
+    assert {r["id"]: r["label"] for r in again.state.collect()} == want

@@ -16,7 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+# derived from the entry module so the test and the oracles can never run
+# against different SF dirs (honors SPARK_GRAFT_ORACLE_SF_DIR)
+SF_DIR = entrymod._ORACLE_SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -73,8 +75,22 @@ def test_query_matches_oracle(spark, ducks, name):
 
 def test_every_query_is_oracled():
     # round-2 invariant: no rows-only entries left — every queries() key
-    # has a DuckDB oracle (the driver gate records hash_match for all)
-    assert set(entrymod.queries()) == set(entrymod.oracle_sql())
+    # has a DuckDB oracle (the driver gate records hash_match for all).
+    # At a NON-default oracle SF dir, entries documented as conditional
+    # (CONDITIONAL_ORACLES) may be intentionally omitted — skip visibly
+    # instead of failing; anything else missing is a bug at any SF.
+    missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    if (
+        missing
+        and missing <= entrymod.CONDITIONAL_ORACLES
+        and entrymod._ORACLE_SF_DIR != entrymod.DEFAULT_ORACLE_SF_DIR
+    ):
+        pytest.skip(
+            f"conditional oracles omitted at {entrymod._ORACLE_SF_DIR}: "
+            f"{sorted(missing)}"
+        )
+    assert not missing, f"queries without oracle_sql entries: {sorted(missing)}"
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
 def test_entry_smoke(spark):

@@ -256,3 +256,33 @@ def test_rolling_fingerprints_winnowing_guarantee(spark):
         fps.setdefault(r["id"], set()).add(r["fp"])
     assert fps["a"] & fps["b"], "shared passage must share a fingerprint"
     assert not (fps["a"] & fps["c"]) and not (fps["b"] & fps["c"])
+
+
+def test_knn_ivf_releases_storage(spark):
+    # the intermediate O(n*n_centroids) ranked cache and the quantizer's
+    # k-row localCheckpoints must not outlive the call: after freeing the
+    # materialized result, no new storage blocks remain pinned
+    import numpy as np
+
+    from duwamish_spark.functions import knn_cosine_ivf
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    def storage_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    rng = np.random.default_rng(21)
+    rows = [
+        (f"v{i:02d}", [float(x) for x in v])
+        for i, v in enumerate(rng.standard_normal((50, 16)).astype("float32"))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+    before = storage_ids()
+    res = knn_cosine_ivf(emb, k=2, n_centroids=4, n_probe=2)
+    assert len(res.collect()) == 100  # 50 ids x k=2
+    free_local_checkpoint(res)
+    leaked = storage_ids() - before
+    assert not leaked, f"knn_cosine_ivf leaked storage blocks: {leaked}"
