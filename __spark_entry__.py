@@ -269,6 +269,22 @@ def q_recommend_round4(spark, sf_dir):
     )
 
 
+def q_recommend_round4_broadcast(spark, sf_dir):
+    """Same fixed-4-superstep SGD prefix as recommend_round4 but through
+    the model-broadcast strategy (broadcast model + shuffle-free partial-
+    gradient jobs) — gating that BOTH execution plans produce the same
+    rounded factors against the same closed-form oracle."""
+    from duwamish_spark.algorithms import recommendations
+
+    res = recommendations(
+        spark, _ratings(spark, sf_dir), n_features=2, runs_per_feature=3,
+        max_supersteps=4, strategy="broadcast",
+    )
+    return res.state.where(F.col("kind") != "rating").select(
+        "id", "kind", F.round(F.element_at("fvec", 1), 6).alias("f0")
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     from duwamish_spark.algorithms.triangles import _wedges
     from duwamish_spark.graph import canonical_edges
@@ -562,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
         "recommend_round4": q_recommend_round4,
+        "recommend_round4_broadcast": q_recommend_round4_broadcast,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
@@ -907,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_auto_algorithm": _CC_REACH_SQL,
         "cc_alternating": _CC_REACH_SQL,
         "recommend_round4": _RECOMMEND_ROUND4_SQL,
+        "recommend_round4_broadcast": _RECOMMEND_ROUND4_SQL,
         "lp_round1": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE},
             cnt AS (SELECT dst AS id, src AS m, count(*) AS c FROM sym GROUP BY dst, src),

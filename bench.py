@@ -14,7 +14,13 @@ example/PageRank.java:89,117).
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      DUWAMISH_BENCH_FILES (override corpus size),
-     DUWAMISH_BENCH_DEG (override max out-degree, default 127).
+     DUWAMISH_BENCH_DEG (override max out-degree, default 127),
+     DUWAMISH_BENCH_REC (recommendations SGD benchmark: 1 = 1k/10k full
+       1000-superstep schedule [default], 2 = also the 5k/50k stretch,
+       0 = skip),
+     DUWAMISH_BENCH_SF1 (SF=1 block at 1M files / 63.5M edges: default
+       runs IF the .bench_cache edge parquet exists; 1 = force
+       (generates the corpus, ~25 min first time), 0 = skip).
 """
 
 from __future__ import annotations
@@ -53,6 +59,197 @@ def edges_parquet(spark, n_files: int, deg: int, seed: int = 42) -> tuple[str, f
     t0 = time.monotonic()
     extract_edges(corpus).write.mode("overwrite").parquet(path)
     return path, time.monotonic() - t0
+
+
+def sgd_ratings_pdf(movies: int, users: int, maxr: int = 64, seed: int = 7):
+    """Deterministic ratings table shaped like the reference's generator
+    (Recommendations.java:158-181: per-user rating count ~ U{0..maxr},
+    uniform movie, integer rating 0..4)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, maxr, size=users)
+    u = np.repeat(np.arange(users), counts)
+    m = rng.integers(0, movies, size=u.size)
+    r = rng.integers(0, 5, size=u.size).astype(float)
+    return pd.DataFrame(
+        {
+            "user_id": np.char.add("u", u.astype(str)),
+            "movie_id": np.char.add("m", m.astype(str)),
+            "rating_id": np.char.add("r", np.arange(u.size).astype(str)),
+            "rating": r,
+        }
+    )
+
+
+def bench_recommendations(spark, extra: dict, stretch: bool) -> float:
+    """The reference's published Recommendations rows
+    (notes/benchmarks.txt:2-3): full 1000-superstep SGD schedule
+    (10 features x 50 runs x 2) at 1k movies / 10k users (238.137 s
+    best-of-3 single-node) and optionally 5k/50k (1,378.275 s).
+    Runs the model-broadcast strategy; final MSE is checked against the
+    NumPy oracle (tests/oracle.py) in the same process."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO, "tests"))
+    from oracle import recommend_oracle
+
+    from duwamish_spark.algorithms.recommend import recommendations
+
+    total_sec = 0.0
+    shapes = [("1k_10k", 1000, 10_000, 238.137)]
+    if stretch:
+        shapes.append(("5k_50k", 5000, 50_000, 1378.275))
+    for name, m, u, ref_sec in shapes:
+        pdf = sgd_ratings_pdf(m, u)
+        ratings = spark.createDataFrame(pdf)
+        t0 = time.monotonic()
+        res = recommendations(
+            spark, ratings, strategy="broadcast", num_partitions=8
+        )
+        res.state.count()
+        sec = time.monotonic() - t0
+        total_sec += sec
+        mses = [r["mse"] for r in res.metrics if r.get("mse") is not None]
+        entry = {
+            "sec": round(sec, 3),
+            "supersteps": res.supersteps,
+            "supersteps_per_min": round(res.supersteps / sec * 60.0, 1),
+            "ratings": len(pdf),
+            "final_mse": round(mses[-1], 9),
+            "reference_sec": ref_sec,
+            "speedup_vs_reference": round(ref_sec / sec, 2),
+        }
+        if name == "1k_10k":
+            # oracle the FULL schedule (numpy replay, a few seconds)
+            rows = [tuple(r) for r in pdf.itertuples(index=False)]
+            _, _, _, mse_oracle = recommend_oracle(
+                rows, n_features=10, runs_per_feature=50
+            )
+            entry["oracle_mse"] = round(mse_oracle, 9)
+            entry["mse_matches_oracle"] = bool(
+                abs(mse_oracle - mses[-1]) < 1e-6
+            )
+        extra.setdefault("recommendations", {})[name] = entry
+    return total_sec
+
+
+def bench_sf1(spark, cpus: int) -> dict:
+    """SF=1 block: the same pipeline at 1M files / 63.5M edges plus the
+    LLM-pipeline ops at 1M docs / 1M embeddings. Quadratic-by-nature
+    pieces are bounded and the bounds are stated: banded minhash runs on
+    a 100k-doc hash-sample because the synthetic corpus is boilerplate-
+    dense (the true near-dup pair set itself grows quadratically there —
+    a data property, not a plan property); simhash at 1M is omitted for
+    the same reason."""
+    from pyspark.sql import functions as F
+
+    from duwamish_spark.algorithms import connected_components, pagerank
+    from duwamish_spark.functions import (
+        exact_dedup,
+        minhash_near_dups,
+        token_stats,
+    )
+    from duwamish_spark.functions.similarity import knn_cosine_lsh
+    from duwamish_spark.graph import prepare_encoding, vertices_from
+
+    q: dict[str, float] = {}
+    d: dict[str, object] = {}
+
+    epath, parse_sec = edges_parquet(spark, 1_000_000, 127)
+    if parse_sec:
+        q["parse_corpus"] = round(parse_sec, 3)
+    edges = spark.read.parquet(epath)
+
+    t0 = time.monotonic()
+    _m, verts, edges_e = prepare_encoding(
+        spark, vertices_from(None, edges), edges, cpus
+    )
+    verts = verts.persist()
+    edges_e = edges_e.persist()
+    nv = verts.count()
+    ne = edges_e.count()
+    q["build_vertices"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    pr = pagerank(
+        spark, verts, edges_e, tol=1e-6, max_supersteps=200,
+        num_partitions=cpus, halt_interval=4, encode=False,
+    )
+    pr.state.count()
+    sec = time.monotonic() - t0
+    q["pagerank_converged"] = round(sec, 3)
+    d["pagerank"] = {
+        "supersteps": pr.supersteps,
+        "halted": pr.halted,
+        "vertices": nv,
+        "edges": ne,
+        "edges_per_sec": round(ne * pr.supersteps / sec, 1),
+        "supersteps_per_min": round(pr.supersteps / (sec / 60.0), 2),
+    }
+
+    t0 = time.monotonic()
+    cc = connected_components(
+        spark, verts, edges_e, num_partitions=cpus, encode=False
+    )
+    n_comp = cc.state.agg(F.countDistinct("label")).collect()[0][0]
+    q["connected_components"] = round(time.monotonic() - t0, 3)
+    d["cc"] = {"rounds": cc.supersteps, "components": n_comp}
+    verts.unpersist()
+    edges_e.unpersist()
+
+    corpus_path = os.path.join(CACHE, "corpus_n1000000_d127_s42.parquet")
+    if os.path.exists(corpus_path):
+        corpus = spark.read.parquet(corpus_path)
+        docs = corpus.select(
+            F.concat_ws("/", "repo", "path").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        t0 = time.monotonic()
+        n_groups = exact_dedup(docs).count()
+        q["exact_dedup_1m"] = round(time.monotonic() - t0, 3)
+        d["exact_dedup_1m_groups"] = n_groups
+
+        t0 = time.monotonic()
+        n_tok = token_stats(docs).agg(F.sum("n_tokens")).collect()[0][0]
+        q["token_stats_1m"] = round(time.monotonic() - t0, 3)
+        d["token_stats_1m_tokens"] = int(n_tok)
+
+        sample = docs.where(F.pmod(F.hash("doc_id"), 10) == 0)
+        t0 = time.monotonic()
+        n_pairs = minhash_near_dups(
+            sample, threshold=0.7, n_hashes=16, bands=4
+        ).count()
+        q["minhash_100k_sample"] = round(time.monotonic() - t0, 3)
+        d["minhash_100k_pairs"] = n_pairs
+
+    # 1M x 64 deterministic embeddings, generated JVM-side and cached
+    emb_path = os.path.join(CACHE, "emb_1m_d64.parquet")
+    if not os.path.exists(emb_path):
+        spark.range(1_000_000).select(
+            F.concat(F.lit("v"), F.col("id")).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (F.pmod(F.hash(F.col("id"), i), 2001) - 1000).cast(
+                    "double"
+                )
+                / 1000.0,
+            ).alias("embedding"),
+        ).write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+    t0 = time.monotonic()
+    n_knn = knn_cosine_lsh(emb, k=3, n_planes=20, n_tables=4).count()
+    q["knn_lsh_1m"] = round(time.monotonic() - t0, 3)
+    d["knn_lsh_1m_rows"] = n_knn
+
+    return {
+        "sf": 1.0,
+        "queries": q,
+        "total_sec": round(sum(q.values()), 3),
+        "graph": {"files": 1_000_000, "max_out_degree": 127, "edges": ne},
+        "detail": d,
+    }
 
 
 def main() -> None:
@@ -237,6 +434,21 @@ def main() -> None:
         sample.unpersist()
 
     verts.unpersist()
+
+    # detail-only (not in the headline total, which stays an apples-to-
+    # apples series across rounds): the reference's published SGD rows
+    rec_mode = os.environ.get("DUWAMISH_BENCH_REC", "1")
+    if rec_mode != "0":
+        bench_recommendations(spark, extra, stretch=(rec_mode == "2"))
+
+    sf1_mode = os.environ.get("DUWAMISH_BENCH_SF1", "")
+    sf1_cache = os.path.exists(
+        os.path.join(CACHE, "edges_n1000000_d127_s42.parquet")
+    )
+    sf1_block = None
+    if sf1_mode == "1" or (sf1_mode != "0" and sf1_cache):
+        sf1_block = bench_sf1(spark, cpus)
+
     spark.stop()
 
     out = {
@@ -249,6 +461,8 @@ def main() -> None:
         "graph": {"files": n_files, "max_out_degree": deg, "edges": n_edges},
         "detail": extra,
     }
+    if sf1_block is not None:
+        out["sf1"] = sf1_block
     print(json.dumps(out))
 
 

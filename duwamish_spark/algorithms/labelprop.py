@@ -30,11 +30,21 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from duwamish_spark.graph import decode_state, prepare_encoding, symmetrize
-from duwamish_spark.pregel import Pregel, PregelResult
+from duwamish_spark.pregel import Pregel, PregelResult, combine_messages
 
 
-def _lp_combine_update(state: DataFrame, msgs: DataFrame) -> DataFrame:
-    counts = msgs.groupBy("dst", "m").agg(F.count(F.lit(1)).alias("cnt"))
+def _lp_combine_update(
+    state: DataFrame, msgs: DataFrame, salt: int = 0, combine: str = "partial"
+) -> DataFrame:
+    # stage 1 (count per (dst, label)) through the shared combiner so LP has
+    # the same salt / raw-exchange knobs as CC and PageRank: salt splits a
+    # hot (dst, label) key — a hub whose neighborhood converged to one
+    # label — across reducer sub-keys; combine="raw" exchanges raw messages
+    # by the composite key before aggregating (V/P-sized combine maps)
+    counts = combine_messages(
+        msgs, [("cnt", "m", "count")], key=["dst", "m"], salt=salt,
+        pre_shuffle=(combine == "raw"),
+    )
     mode = counts.groupBy("dst").agg(
         F.min_by("m", F.struct((-F.col("cnt")).alias("nc"), F.col("m"))).alias("mlabel"),
         F.sum("cnt").alias("mcnt"),
@@ -47,11 +57,13 @@ def _lp_combine_update(state: DataFrame, msgs: DataFrame) -> DataFrame:
     )
 
 
-def _lp_step(state: DataFrame, edges_sym: DataFrame) -> DataFrame:
+def _lp_step(
+    state: DataFrame, edges_sym: DataFrame, salt: int = 0, combine: str = "partial"
+) -> DataFrame:
     msgs = state.hint("shuffle_hash").join(
         edges_sym, state["id"] == edges_sym["src"]
     ).select("dst", F.col("label").alias("m"))
-    return _lp_combine_update(state, msgs)
+    return _lp_combine_update(state, msgs, salt, combine)
 
 
 def _lp_step_broadcast(state: DataFrame, edges_sym: DataFrame) -> DataFrame:
@@ -77,8 +89,17 @@ def label_propagation(
     encode: bool = True,
     broadcast_max_vertices: int = 5_000_000,
     resume: bool = False,
+    salt: int = 0,
+    combine: str = "partial",
 ) -> PregelResult:
-    """Result state: (id, label) after ≤ max_supersteps synchronous rounds."""
+    """Result state: (id, label) after ≤ max_supersteps synchronous rounds.
+
+    ``salt``/``combine`` mirror connected_components/pagerank (shuffle
+    strategy only): salt > 1 splits hot (dst, label) count keys across
+    reducer sub-keys; combine="raw" exchanges raw messages by the
+    composite key before aggregating. Results are knob-invariant
+    (tested); measured skew economics in BENCH/skew.json.
+    """
     mapping = None
     verts, e = vertices, edges
     if encode:
@@ -114,7 +135,7 @@ def label_propagation(
         halt_interval = min(halt_interval, 4)
         step = lambda st, s: _lp_step_broadcast(st, edges_sym)  # noqa: E731
     else:
-        step = lambda st, s: _lp_step(st, edges_sym)  # noqa: E731
+        step = lambda st, s: _lp_step(st, edges_sym, salt, combine)  # noqa: E731
 
     runner = Pregel(
         spark,

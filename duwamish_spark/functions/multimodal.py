@@ -168,6 +168,7 @@ def decode_media(
     media: DataFrame,
     require_real_codecs: bool = False,
     codec: "object | None" = None,
+    kernel: str = "vectorized",
 ) -> DataFrame:
     """Decode payloads into per-media features (the "decode + feature
     extract" stage).
@@ -182,9 +183,13 @@ def decode_media(
     The default (codec=None) path parses the :func:`synth_media` header and
     computes body statistics fully vectorized across the Arrow batch:
     header fields via NumPy gathers over one concatenated buffer, body
-    sums/sq-sums via ``np.add.reduceat`` — no per-row Python except the
+    sums/sq-sums via a prefix-sum kernel — no per-row Python except the
     sha256 digest (stdlib hashlib has no batch API; it is the per-item
     codec-like step).
+
+    ``kernel``: ``"vectorized"`` (default, above) or ``"perrow"`` — the
+    per-row NumPy loop kept as the measured A/B reference
+    (``media_ab.py``); identical output (tested).
     """
     if require_real_codecs and codec is None:
         if not _HAVE_PIL:
@@ -275,8 +280,29 @@ def decode_media(
                 }
             )
 
+    def run_perrow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != MAGIC or len(b) < 16:
+                    rows.append((mid, kind, len(b), hashlib.sha256(b).hexdigest(),
+                                 None, None, None, None))
+                    continue
+                w, hgt = struct.unpack(">II", b[4:12])
+                body = np.frombuffer(b[16:], dtype=np.uint8)
+                rows.append((
+                    mid, kind, len(b), hashlib.sha256(b[16:]).hexdigest(), w, hgt,
+                    float(body.mean()) if body.size else 0.0,
+                    float(body.std()) if body.size else 0.0,
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    if kernel not in ("vectorized", "perrow"):
+        raise ValueError(f"unknown decode kernel {kernel!r}")
+    fn = run_codec if codec is not None else (run if kernel == "vectorized" else run_perrow)
     return media.select("media_id", "kind", "payload").mapInPandas(
-        run_codec if codec is not None else run, FEATURES_SCHEMA
+        fn, FEATURES_SCHEMA
     )
 
 

@@ -86,11 +86,14 @@ def salt_subkey(value_cols: list[Column], salt: int) -> Column:
 def combine_messages(
     messages: DataFrame,
     aggs: list[tuple[str, str, str]],
-    key: str = "dst",
+    key: str | list[str] = "dst",
     salt: int = 0,
     pre_shuffle: bool = False,
 ) -> DataFrame:
     """``groupBy(key)`` combine of a message relation.
+
+    ``key`` may be a single column or a composite list (e.g. label
+    propagation's mode combine counts per ``(dst, label)``).
 
     ``aggs``: list of ``(out_name, in_col, kind)`` with kind in
     sum/min/max/count. With ``salt > 0`` runs the two-stage salted form:
@@ -107,31 +110,37 @@ def combine_messages(
     cores (measured: 0.57 vs 0.82 strong-scaling efficiency at 63.5M
     edges / 1M vertices). Correctness is identical either way (tested).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     if salt and salt > 1:
         # split each hot destination across `salt` reducer sub-keys; with
         # pre_shuffle the exchange itself runs on (key, salt) so no single
-        # reducer partition receives a hub's full in-degree
+        # reducer partition receives a hub's full in-degree. With a
+        # composite key whose value columns are all part of the key (LP's
+        # (dst, label) counts) the sub-key degenerates to the sender term
+        # alone — still a balanced split.
         salt_col = salt_subkey(
-            [F.col(c) for c in messages.columns if c != key], salt
+            [F.col(c) for c in messages.columns if c not in keys], salt
         )
         messages = messages.withColumn("_salt", salt_col)
         if pre_shuffle:
-            messages = messages.repartition(F.col(key), F.col("_salt"))
-        partial = messages.groupBy(key, "_salt").agg(
+            messages = messages.repartition(
+                *[F.col(k) for k in keys], F.col("_salt")
+            )
+        partial = messages.groupBy(*keys, "_salt").agg(
             *[
                 _ALGEBRAIC[kind][0](in_col).alias(out)
                 for out, in_col, kind in aggs
             ]
         )
-        return partial.groupBy(key).agg(
+        return partial.groupBy(*keys).agg(
             *[
                 _ALGEBRAIC[kind][1](out).alias(out)
                 for out, _, kind in aggs
             ]
         )
     if pre_shuffle:
-        messages = messages.repartition(F.col(key))
-    return messages.groupBy(key).agg(
+        messages = messages.repartition(*[F.col(k) for k in keys])
+    return messages.groupBy(*keys).agg(
         *[_ALGEBRAIC[kind][0](in_col).alias(out) for out, in_col, kind in aggs]
     )
 

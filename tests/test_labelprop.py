@@ -40,3 +40,21 @@ def test_random_vs_oracle_exact(spark, v, maxdeg, seed, rounds):
     want = lp_oracle(ids, edges, rounds=rounds)
     got, _ = _run(spark, ids, edges, rounds=rounds)
     assert got == want
+
+
+def test_salt_and_raw_combine_invariant(spark):
+    # LP now has the same skew knobs as CC/PR: salted and raw-exchange
+    # shuffle paths must produce identical labels to the plain path
+    ids, edges = rand_graph(150, 3, 23)
+    v, e = vertices_df(spark, ids), edges_df(spark, edges)
+
+    def labels(**kw):
+        res = label_propagation(
+            spark, v, e, max_supersteps=3, strategy="shuffle", **kw
+        )
+        return {r["id"]: r["label"] for r in res.state.collect()}
+
+    plain = labels()
+    assert labels(salt=8) == plain
+    assert labels(combine="raw") == plain
+    assert labels(salt=8, combine="raw") == plain

@@ -119,3 +119,32 @@ def test_embed_media_feeds_ann(media, spark):
         emb.select(F.col("media_id").alias("vec_id"), "embedding"), k=2
     ).collect()
     assert {r.vec_id for r in knn} == {r.media_id for r in rows}
+
+
+def test_perrow_kernel_equals_vectorized(media, spark):
+    # the per-row loop is the A/B reference for media_ab.py -- byte-for-byte
+    # identical output to the vectorized prefix-sum kernel, including a
+    # malformed (non-DWMM / short) payload row
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame(
+        [("bad1", "image", bytearray(b"xx")), ("bad2", "audio", bytearray(b"NOPE" * 5))],
+        "media_id string, kind string, payload binary",
+    )
+    both = media.select("media_id", "kind", "payload").unionAll(bad)
+
+    def snap(kernel):
+        rows = decode_media(both, kernel=kernel).collect()
+        return sorted(
+            (
+                r["media_id"], r["kind"], r["n_bytes"], r["body_sha256"],
+                r["width"], r["height"],
+                None if r["mean_byte"] is None else round(r["mean_byte"], 9),
+                None if r["std_byte"] is None else round(r["std_byte"], 9),
+            )
+            for r in rows
+        )
+
+    assert snap("perrow") == snap("vectorized")
+    with pytest.raises(ValueError):
+        decode_media(media, kernel="nope")
