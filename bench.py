@@ -412,25 +412,21 @@ def main() -> None:
             "quality": knn_lsh_recall(sample, k=3, n_planes=6, n_tables=16),
         }
 
-        # IVF (k-means bucketed) — the other ANN scale path: recall vs
-        # brute on the same sample, probing 4 of 16 buckets (~25% scanned)
-        from duwamish_spark.functions import knn_cosine, knn_cosine_ivf
+        # IVF (k-means bucketed) — the other ANN scale path. Config tuned
+        # round 3 to the >=0.8-recall-at-<=25%-candidates gate on these
+        # deliberately hard weakly-clustered embeddings: finer quantization
+        # (160 centroids, 40 probes, 3 Lloyd iterations) buys recall at the
+        # SAME scanned fraction (measured, not nominal: cluster imbalance
+        # is included in candidate_fraction).
+        from duwamish_spark.functions.similarity import knn_ivf_recall
 
-        exact = knn_cosine(sample, k=3, strategy="brute").select(
-            "vec_id", "neighbor_id"
-        ).persist()
-        n_exact = exact.count()
         t0 = time.monotonic()
-        ivf = knn_cosine_ivf(sample, k=3, n_centroids=16, n_probe=4).select(
-            "vec_id", "neighbor_id"
-        )
-        ivf_hits = exact.intersect(ivf).count()
         extra["knn_ivf_recall_n1500"] = {
-            "recall": round(ivf_hits / max(n_exact, 1), 4),
-            "n_centroids": 16, "n_probe": 4,
+            **knn_ivf_recall(
+                sample, k=3, n_centroids=160, n_probe=40, iters=3
+            ),
             "sec": round(time.monotonic() - t0, 3),
         }
-        exact.unpersist()
         sample.unpersist()
 
     verts.unpersist()

@@ -384,6 +384,61 @@ def embedding_near_dups(
     )
 
 
+def knn_ivf_recall(
+    emb: DataFrame,
+    k: int = 3,
+    n_centroids: int = 128,
+    n_probe: int = 32,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Quality gate for the IVF scale path: recall of IVF top-k vs the
+    brute-force top-k plus the ACTUAL candidate-pair fraction scanned
+    (Σ_q Σ_{c∈probes(q)} |c| / n² — cluster imbalance can push this away
+    from the nominal n_probe/n_centroids, so it is measured, not assumed).
+    Run on a bounded sample (the exact side is O(n²))."""
+    from pyspark.sql.window import Window
+
+    n = emb.count()
+    exact = knn_cosine(emb, k, id_col, vec_col, strategy="brute").select(
+        "vec_id", "neighbor_id"
+    )
+    cent = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
+    pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored_c = pts.crossJoin(F.broadcast(cent)).select(
+        "id", "cluster",
+        cosine_sim_col(F.col("v"), F.col("centroid")).alias("cs"),
+    )
+    wp = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cluster").asc())
+    ranked = scored_c.withColumn("_rn", F.row_number().over(wp))
+    sizes = ranked.where(F.col("_rn") == 1).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    scanned = (
+        ranked.where(F.col("_rn") <= n_probe)
+        .join(sizes, "cluster")
+        .agg(F.sum("sz"))
+        .collect()[0][0]
+        or 0
+    )
+    approx = knn_cosine_ivf(
+        emb, k, n_centroids, n_probe, iters, id_col, vec_col
+    ).select("vec_id", "neighbor_id")
+    denom = exact.count()
+    recall = 1.0 if denom == 0 else exact.intersect(approx).count() / denom
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    free_local_checkpoint(approx)
+    return {
+        "recall": round(recall, 4),
+        "candidate_fraction": round(scanned / max(n * n, 1), 4),
+        "n_centroids": n_centroids,
+        "n_probe": n_probe,
+        "iters": iters,
+    }
+
+
 def knn_lsh_recall(
     emb: DataFrame,
     k: int = 3,

@@ -95,6 +95,9 @@ def streaming_dedup(
     docs_stream: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    *,
+    ttl: str | int | None = None,
+    baseline: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: emit each document the FIRST time its
     content hash is seen, across micro-batches — the custom stateful
@@ -105,17 +108,63 @@ def streaming_dedup(
 
     Output: (doc_id, text_hash) of first occurrences, append mode.
     Within a batch, ties break to the smallest doc_id (deterministic).
+
+    **State-size story at 100 TB** — with neither knob below, the state
+    store holds one ~50-byte entry per distinct hash FOREVER (10^12 docs
+    → ~50 TB of streaming state: untenable). Two complementary bounds:
+
+    ``ttl``: processing-time timeout (``"10 minutes"`` or ms int) — a hash
+    unseen for `ttl` is evicted, so state size is bounded by the distinct
+    hashes of the ACTIVE window, at the cost of re-admitting a duplicate
+    whose original landed more than `ttl` ago. The timeout refreshes on
+    every sighting (LRU semantics).
+
+    ``baseline``: a STATIC table of already-seen hashes (column
+    ``text_hash``) joined as a stream-static LEFT ANTI filter *before*
+    the stateful operator — the compaction path: periodically drain this
+    operator's own output into the baseline table (plain parquet append:
+    its (doc_id, text_hash) rows ARE the hash table), restart the stream
+    with the grown baseline and a fresh checkpoint, and the streaming
+    state shrinks to only what arrived since the last compaction. TTL +
+    compaction together give EXACT dedup with bounded state: the static
+    side scales as a parquet table (cheap, columnar, partitionable),
+    not as per-key state-store entries.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_ms: int | None = None
+    if ttl is not None:
+        if isinstance(ttl, int):
+            ttl_ms = ttl
+        else:
+            qty, unit = ttl.split()
+            ttl_ms = int(
+                float(qty)
+                * {
+                    "millisecond": 1, "milliseconds": 1,
+                    "second": 1000, "seconds": 1000,
+                    "minute": 60_000, "minutes": 60_000,
+                    "hour": 3_600_000, "hours": 3_600_000,
+                }[unit]
+            )
 
     hashed = docs_stream.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.md5(F.col(text_col)).alias("text_hash"),
     )
+    if baseline is not None:
+        hashed = hashed.join(
+            baseline.select("text_hash").distinct(), "text_hash", "left_anti"
+        )
 
     def first_occurrence(key, pdfs, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # refresh on sighting (LRU)
             return
         best = None
         for pdf in pdfs:
@@ -125,6 +174,8 @@ def streaming_dedup(
         if best is None:
             return
         state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"doc_id": [best], "text_hash": [key[0]]})
 
     return hashed.groupBy("text_hash").applyInPandasWithState(
@@ -132,7 +183,11 @@ def streaming_dedup(
         outputStructType="doc_id string, text_hash string",
         stateStructType="seen int",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

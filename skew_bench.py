@@ -89,10 +89,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--salts", default="0,32")
     ap.add_argument(
-        "--workload", default="pagerank", choices=["pagerank", "cc"],
+        "--workload", default="pagerank", choices=["pagerank", "cc", "lp"],
         help="pagerank: distinct message values per sender; cc: hash-min "
         "labels collapse to identical values at the hub in late rounds — "
-        "the case the sender-derived salt sub-key term exists for",
+        "the case the sender-derived salt sub-key term exists for; lp: "
+        "mode combine, where a hub whose neighborhood converges to one "
+        "label makes (dst, label) the hot composite count key",
     )
     ap.add_argument(
         "--graph", default="zipf", choices=["zipf", "star"],
@@ -104,7 +106,11 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from duwamish_spark.algorithms import connected_components, pagerank
+    from duwamish_spark.algorithms import (
+        connected_components,
+        label_propagation,
+        pagerank,
+    )
     from duwamish_spark.graph import vertices_from
     from duwamish_spark.session import get_spark
 
@@ -132,6 +138,14 @@ def main() -> None:
             # collapses to one row per map task and salting only adds
             # overhead (measured: 0.79s/step unsalted vs 1.04 salted)
             return connected_components(
+                spark, verts, edges, max_supersteps=steps,
+                num_partitions=args.cpus, strategy="shuffle",
+                salt=salt, encode=False, combine="raw",
+            )
+        if args.workload == "lp":
+            # same raw-exchange rationale as CC; the salted path splits
+            # the (dst, label) composite count key across sub-keys
+            return label_propagation(
                 spark, verts, edges, max_supersteps=steps,
                 num_partitions=args.cpus, strategy="shuffle",
                 salt=salt, encode=False, combine="raw",

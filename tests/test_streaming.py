@@ -195,3 +195,112 @@ def test_streaming_dedup_first_occurrence_across_batches(spark, tmp_path):
     ).to_parquet(str(d / "b1.parquet"), index=False)
     got1 = drain()
     assert {x[0] for x in got1} == {"d1", "d2", "d5"}
+
+
+def test_streaming_dedup_ttl_evicts_state(spark, tmp_path):
+    """ttl= bounds the state store: a hash unseen for longer than the TTL
+    is evicted (ProcessingTimeTimeout) and a later duplicate re-admits.
+    Eviction happens during a trigger where the key has NO new data, so an
+    unrelated batch is drained between the original and the re-send."""
+    import time as _t
+
+    import pandas as pd
+
+    from duwamish_spark.streaming import streaming_dedup
+
+    d = tmp_path / "ttl_docs"
+    ck = tmp_path / "ttl_ck"
+    out = tmp_path / "ttl_out"
+    d.mkdir()
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .parquet(str(d))
+        )
+        q = (
+            streaming_dedup(stream, ttl="1 second")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # with pending processing-time timeouts the availableNow query can
+        # keep scheduling timeout-processing batches instead of
+        # terminating — bound the wait (data batches commit within a
+        # couple seconds; 30 s is ample), then stop explicitly
+        q.awaitTermination(30)
+        q.stop()
+        q.awaitTermination()
+        return sorted(
+            (r["doc_id"], r["text_hash"])
+            for r in spark.read.parquet(str(out)).collect()
+        )
+
+    pd.DataFrame([("d1", "alpha")], columns=["doc_id", "text"]).to_parquet(
+        str(d / "b0.parquet"), index=False
+    )
+    assert [x[0] for x in drain()] == ["d1"]
+
+    _t.sleep(2.5)  # let d1's state expire
+    # unrelated batch: its trigger processes the timeout and evicts alpha
+    pd.DataFrame([("d2", "beta")], columns=["doc_id", "text"]).to_parquet(
+        str(d / "b1.parquet"), index=False
+    )
+    assert [x[0] for x in drain()] == ["d1", "d2"]
+
+    # alpha again: state was evicted, so it re-admits (the documented
+    # bounded-state trade; exact dedup across epochs = baseline compaction)
+    pd.DataFrame([("d3", "alpha")], columns=["doc_id", "text"]).to_parquet(
+        str(d / "b2.parquet"), index=False
+    )
+    assert [x[0] for x in drain()] == ["d1", "d2", "d3"]
+
+
+def test_streaming_dedup_baseline_compaction(spark, tmp_path):
+    """Compaction path: drain the operator's own output into a static
+    parquet hash table, then restart with baseline= and a FRESH checkpoint
+    — already-seen hashes are filtered stream-static before the stateful
+    operator, so state only accumulates post-compaction arrivals."""
+    import pandas as pd
+
+    from duwamish_spark.streaming import streaming_dedup
+
+    d = tmp_path / "bc_docs"
+    d.mkdir()
+
+    def drain(ck, out, baseline=None):
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .parquet(str(d))
+        )
+        q = (
+            streaming_dedup(stream, baseline=baseline)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(out))
+
+    # epoch 1: alpha + beta seen, output drained into the baseline table
+    pd.DataFrame(
+        [("d1", "alpha"), ("d2", "beta")], columns=["doc_id", "text"]
+    ).to_parquet(str(d / "b0.parquet"), index=False)
+    first = drain(tmp_path / "ck_e1", tmp_path / "out_e1")
+    assert {r["doc_id"] for r in first.collect()} == {"d1", "d2"}
+
+    # epoch 2 (post-compaction restart: fresh checkpoint, baseline = the
+    # epoch-1 output): duplicates of alpha/beta are anti-joined away
+    # BEFORE the state store; only gamma lands (and creates state)
+    pd.DataFrame(
+        [("d3", "alpha"), ("d4", "gamma")], columns=["doc_id", "text"]
+    ).to_parquet(str(d / "b1.parquet"), index=False)
+    second = drain(tmp_path / "ck_e2", tmp_path / "out_e2", baseline=first)
+    got = {r["doc_id"] for r in second.collect()}
+    assert "d4" in got and "d3" not in got
