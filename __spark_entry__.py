@@ -126,6 +126,54 @@ def q_pagerank_fixed10_shuffle(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_ppr_seeded_fixed10(spark, sf_dir):
+    """Personalized PageRank: restart mass concentrated on the ids
+    divisible by 10 (60 of the 599 vertices), 10 fixed supersteps.
+    Teleport weights normalize to sum V, so the oracle's per-vertex base
+    is 0.15 * (1.0 * V / n_seeds) on seeds and 0 elsewhere."""
+    from duwamish_spark.algorithms import pagerank
+
+    v, e = _graph(spark, sf_dir)
+    tp = v.where(F.col("id") % 10 == 0).select(
+        "id", F.lit(1.0).alias("weight")
+    )
+    res = pagerank(spark, v, e, tol=0.0, max_supersteps=10, teleport=tp)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_hits_round3(spark, sf_dir):
+    """HITS hubs/authorities, 3 fixed iterations (per-iteration L2
+    normalization; the half-step norm cancels algebraically — see
+    algorithms/hits.py)."""
+    from duwamish_spark.algorithms import hits
+
+    v, e = _graph(spark, sf_dir)
+    res = hits(spark, v, e, max_iters=3, tol=0.0)
+    return res.state.select(
+        "id",
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+# k-core peel at this k converges (first zero-drop round) in exactly this
+# many rounds on the derived sf0.01 graph (592-vertex core survives) —
+# deterministic simultaneous peel; the chained-CTE oracle replays exactly
+# that many rounds, and the mirror test fails loudly if the constant ever
+# drifts from the engine's halt point.
+KCORE_K_SF001 = 140
+KCORE_CONVERGED_ROUNDS_SF001 = 5
+
+
+def q_kcore_converged(spark, sf_dir):
+    """k-core membership + in-core degree at k=140 on the symmetrized
+    simple graph, peeled to fixpoint."""
+    from duwamish_spark.algorithms import k_core
+
+    res = k_core(spark, *_graph(spark, sf_dir), KCORE_K_SF001)
+    return res.state.select("id", "degree")
+
+
 def q_cc_round1(spark, sf_dir):
     from duwamish_spark.graph import symmetrize
 
@@ -564,6 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10": q_pagerank_fixed10,
         "pagerank_fixed10_shuffle": q_pagerank_fixed10_shuffle,
         "pagerank_converged": q_pagerank_converged,
+        "ppr_seeded_fixed10": q_ppr_seeded_fixed10,
+        "hits_round3": q_hits_round3,
+        "kcore_converged": q_kcore_converged,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
         "cc_round1": q_cc_round1,
@@ -637,17 +688,81 @@ def _sssp_chain_sql(steps: int) -> str:
             + f"\nSELECT id, round(coalesce(dist, -1.0), 6) AS dist FROM r{steps}")
 
 
-def _pagerank_chain_sql(steps: int) -> str:
+def _pagerank_chain_sql(steps: int, personalized: bool = False) -> str:
     ctes = [_EDGE_CTE, _VERT_CTE, _DEG_CTE, "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v)"]
+    if personalized:
+        # seeds = ids % 10 == 0, weight 1.0, normalized to sum to V — the
+        # same arithmetic order as the engine: (1.0 * V) / total
+        ctes.append(
+            "p AS (SELECT id, CASE WHEN id % 10 = 0 THEN "
+            "(1.0 * (SELECT count(*) FROM v)) / (SELECT count(*) FROM v WHERE id % 10 = 0) "
+            "ELSE 0.0 END AS p FROM v)"
+        )
+        base = "0.15 * p.p"
+        join_p = " JOIN p ON p.id = v.id"
+    else:
+        base = "0.15"
+        join_p = ""
     for i in range(1, steps + 1):
         ctes.append(
-            f"r{i} AS (SELECT v.id AS id, 0.15 + 0.85 * coalesce(s.s, 0) AS rank FROM v "
+            f"r{i} AS (SELECT v.id AS id, {base} + 0.85 * coalesce(s.s, 0) AS rank FROM v{join_p} "
             f"LEFT JOIN (SELECT e.dst AS id, sum(r.rank / deg.d) AS s FROM e "
             f"JOIN deg ON deg.id = e.src JOIN r{i-1} r ON r.id = e.src GROUP BY e.dst) s "
             f"ON s.id = v.id)"
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 6) AS rank FROM r{steps}"
+    )
+
+
+def _hits_chain_sql(iters: int) -> str:
+    """Chained-CTE HITS replay: araw from the previous hub vector, hraw
+    from araw, then one L2 normalization per vector per iteration (the
+    half-step norm cancels — same algebra as algorithms/hits.py)."""
+    ctes = [_EDGE_CTE, _VERT_CTE,
+            "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM v)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT e.dst AS id, sum(h.hub) AS r FROM e "
+            f"JOIN h{i-1} h ON h.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT e.src AS id, sum(a.r) AS r FROM e "
+            f"JOIN ar{i} a ON a.id = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT v.id AS id, coalesce(x.r, 0) / "
+            f"(SELECT sqrt(sum(r*r)) FROM ar{i}) AS auth "
+            f"FROM v LEFT JOIN ar{i} x ON x.id = v.id)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT v.id AS id, coalesce(x.r, 0) / "
+            f"(SELECT sqrt(sum(r*r)) FROM hr{i}) AS hub "
+            f"FROM v LEFT JOIN hr{i} x ON x.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a{iters}.id AS id, round(auth, 6) AS auth, round(hub, 6) AS hub"
+        + f"\nFROM a{iters} JOIN h{iters} ON h{iters}.id = a{iters}.id"
+    )
+
+
+def _kcore_chain_sql(k: int, rounds: int) -> str:
+    """Chained-CTE simultaneous peel on the symmetrized simple graph:
+    round i computes degrees among round-(i-1) survivors and keeps
+    degree >= k. With ``rounds`` pinned at the engine's measured halt
+    round (first zero-drop round), the final degree table IS the k-core."""
+    ctes = [_EDGE_CTE, _SYM_CTE, "a0 AS (SELECT DISTINCT src AS id FROM sym)"]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS (SELECT sym.src AS id, count(*) AS degree FROM sym "
+            f"JOIN a{i-1} x ON x.id = sym.src JOIN a{i-1} y ON y.id = sym.dst "
+            f"GROUP BY sym.src)"
+        )
+        ctes.append(f"a{i} AS (SELECT id FROM d{i} WHERE degree >= {k})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, degree FROM d{rounds} WHERE degree >= {k}"
     )
 
 
@@ -756,7 +871,13 @@ _ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", DEFAULT_ORACLE_SF_D
 # construction bug. The entry-contract test tolerates exactly these at
 # non-default SF dirs and nothing else.
 CONDITIONAL_ORACLES = frozenset(
-    {"parse_edges", "content_sha256", "media_decode", "pagerank_converged"}
+    {
+        "parse_edges",
+        "content_sha256",
+        "media_decode",
+        "pagerank_converged",
+        "kcore_converged",
+    }
 )
 
 
@@ -898,7 +1019,12 @@ def oracle_sql() -> dict[str, str]:
         out["pagerank_converged"] = _pagerank_chain_sql(
             PAGERANK_CONVERGED_STEPS_SF001
         )
+        out["kcore_converged"] = _kcore_chain_sql(
+            KCORE_K_SF001, KCORE_CONVERGED_ROUNDS_SF001
+        )
     out.update({
+        "ppr_seeded_fixed10": _pagerank_chain_sql(10, personalized=True),
+        "hits_round3": _hits_chain_sql(3),
         "graph_out_degree": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE}
             SELECT v.id AS id, count(e.src) AS out_degree

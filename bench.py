@@ -347,6 +347,33 @@ def main() -> None:
     queries["triangle_count"] = round(time.monotonic() - t0, 3)
     extra["triangles"] = tri
 
+    # round-3 link-analysis additions — detail-only (headline total stays
+    # an apples-to-apples series across rounds)
+    from duwamish_spark.algorithms import hits, k_core
+
+    t0 = time.monotonic()
+    ht = hits(spark, verts, edges, max_iters=5, tol=0.0, num_partitions=cpus, encode=False)
+    ht.state.count()
+    sec = time.monotonic() - t0
+    extra["hits_5iter"] = {
+        "sec": round(sec, 3),
+        # two E-bounded message shuffles per iteration
+        "edge_msgs_per_sec": round(2 * n_edges * ht.supersteps / sec, 1),
+    }
+
+    t0 = time.monotonic()
+    kc = k_core(
+        spark, verts, edges, 40, num_partitions=cpus, encode=False,
+        max_rounds=30,
+    )
+    sec = time.monotonic() - t0
+    extra["kcore_k40"] = {
+        "sec": round(sec, 3),
+        "rounds": kc.supersteps,
+        "core_size": kc.state.count(),
+        "halted": kc.halted,
+    }
+
     t0 = time.monotonic()
     src_row = edges.limit(1).collect()
     if src_row:

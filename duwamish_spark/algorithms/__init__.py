@@ -7,9 +7,13 @@ from duwamish_spark.algorithms.labelprop import label_propagation
 from duwamish_spark.algorithms.triangles import triangle_count, triangle_count_per_vertex
 from duwamish_spark.algorithms.sssp import shortest_paths
 from duwamish_spark.algorithms.recommend import recommendations
+from duwamish_spark.algorithms.hits import hits
+from duwamish_spark.algorithms.kcore import k_core
 
 __all__ = [
     "recommendations",
+    "hits",
+    "k_core",
     "pagerank",
     "pagerank_step",
     "connected_components",

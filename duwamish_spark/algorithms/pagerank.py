@@ -66,13 +66,25 @@ def _edges_weighted(
 
 
 def _update(state: DataFrame, sums: DataFrame, damping: float) -> DataFrame:
-    new_rank = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
-    return state.join(sums.hint("shuffle_hash"), "id", "left").select(
-        "id",
+    # personalized teleport: state carries a `_p` column (Σ_p = V, so the
+    # uniform vector `_p = 1` reduces exactly to the classic update) and the
+    # restart mass lands as (1-d)·p_i instead of (1-d)·1
+    personalized = "_p" in state.columns
+    base = (
+        F.lit(1.0 - damping) * F.col("_p")
+        if personalized
+        else F.lit(1.0 - damping)
+    )
+    new_rank = base + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
+    cols = [
+        F.col("id"),
         new_rank.alias("rank"),
         F.abs(new_rank - F.col("rank")).alias("_delta"),
         F.coalesce("mcnt", F.lit(0)).alias("_msgs"),
-    )
+    ]
+    if personalized:
+        cols.append(F.col("_p"))
+    return state.join(sums.hint("shuffle_hash"), "id", "left").select(*cols)
 
 
 def pagerank_step(
@@ -132,6 +144,7 @@ def pagerank(
     broadcast_max_vertices: int = 5_000_000,
     resume: bool = False,
     initial_ranks: DataFrame | None = None,
+    teleport: DataFrame | None = None,
     partitioner=None,
 ) -> PregelResult:
     """Run PageRank to L1-residual convergence. Result state: (id, rank).
@@ -141,6 +154,15 @@ def pagerank(
     incrementally (new commits -> new files/edges), re-converging from the
     previous ranks takes a fraction of the supersteps of a cold start:
     vertices absent from the seed (new files) start at 1.0.
+
+    ``teleport`` (id, weight): personalized PageRank — the restart mass
+    lands on the given vertices proportionally to ``weight`` instead of
+    uniformly. Weights are normalized so they sum to V (keeping the
+    engine's unnormalized-rank convention: a uniform teleport vector is
+    EXACTLY classic PageRank, rank-for-rank); vertices absent from
+    ``teleport`` get zero restart mass and rank purely by inbound links.
+    One extra V-sized join at init; per-superstep cost is unchanged (the
+    teleport column rides the state, no extra shuffle).
 
     ``partitioner``: optional ``Column -> Column`` placement hook applied
     to the persisted edge table and the initial state (see
@@ -194,6 +216,18 @@ def pagerank(
         )
     else:
         init = verts.select("id", F.lit(1.0).alias("rank"))
+    if teleport is not None:
+        require_columns(teleport, ("id", "weight"), "teleport")
+        total = teleport.agg(F.sum("weight").alias("t")).collect()[0]["t"]
+        if not total or total <= 0:
+            raise ValueError("teleport weights must sum to a positive value")
+        tp = teleport.select("id", (F.col("weight") * n_verts / total).alias("_p"))
+        if mapping is not None:
+            m_enc = mapping.select(F.col("id"), F.col("vid"))
+            tp = tp.join(m_enc, "id").select(F.col("vid").alias("id"), "_p")
+        init = init.join(tp, "id", "left").select(
+            "id", "rank", F.coalesce("_p", F.lit(0.0)).alias("_p")
+        )
     if num_partitions:
         from duwamish_spark.graph import partition_by
 
