@@ -174,6 +174,17 @@ def q_kcore_converged(spark, sf_dir):
     return res.state.select("id", "degree")
 
 
+def q_scc_converged(spark, sf_dir):
+    """Strongly connected components of the DIRECTED edge table
+    (trim + forward-min coloring + backward confinement, algorithms/scc.py)
+    — scc_id = min member id, checked against a DuckDB mutual-reachability
+    closure."""
+    from duwamish_spark.algorithms import strongly_connected_components
+
+    v, e = _graph(spark, sf_dir)
+    return strongly_connected_components(spark, v, e).state
+
+
 def q_cc_round1(spark, sf_dir):
     from duwamish_spark.graph import symmetrize
 
@@ -615,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_seeded_fixed10": q_ppr_seeded_fixed10,
         "hits_round3": q_hits_round3,
         "kcore_converged": q_kcore_converged,
+        "scc_converged": q_scc_converged,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
         "cc_round1": q_cc_round1,
@@ -812,6 +824,22 @@ _CC_REACH_SQL = f"""
         SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
     )
     SELECT id, min(r) AS label FROM reach GROUP BY id
+"""
+
+# SCC ground truth: forward transitive closure, then mutual pairs.
+# reach(id, r) = "id reaches r" (reflexive); scc_id(v) = min r with
+# v->*r and r->*v. 599 vertices -> closure <= 599^2 rows, fine for DuckDB.
+_SCC_MUTUAL_SQL = f"""
+    WITH RECURSIVE {_EDGE_CTE}, {_VERT_CTE},
+    de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+    reach(id, r) AS (
+        SELECT id, id FROM v
+        UNION
+        SELECT reach.id, de.dst FROM reach JOIN de ON de.src = reach.r
+    )
+    SELECT r1.id AS id, min(r1.r) AS scc_id
+    FROM reach r1 JOIN reach r2 ON r1.id = r2.r AND r1.r = r2.id
+    GROUP BY r1.id
 """
 
 _NGRAM_JACCARD_SQL = r"""
@@ -1046,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN mins m ON m.id = v.id
         """,
         "cc_converged": _CC_REACH_SQL,
+        "scc_converged": _SCC_MUTUAL_SQL,
         "cc_converged_shuffle": _CC_REACH_SQL,
         "cc_auto_algorithm": _CC_REACH_SQL,
         "cc_alternating": _CC_REACH_SQL,

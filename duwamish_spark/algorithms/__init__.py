@@ -9,11 +9,13 @@ from duwamish_spark.algorithms.sssp import shortest_paths
 from duwamish_spark.algorithms.recommend import recommendations
 from duwamish_spark.algorithms.hits import hits
 from duwamish_spark.algorithms.kcore import k_core
+from duwamish_spark.algorithms.scc import strongly_connected_components
 
 __all__ = [
     "recommendations",
     "hits",
     "k_core",
+    "strongly_connected_components",
     "pagerank",
     "pagerank_step",
     "connected_components",

@@ -11,7 +11,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from duwamish_spark.algorithms import hits, k_core, pagerank
+from duwamish_spark.algorithms import (
+    hits,
+    k_core,
+    pagerank,
+    strongly_connected_components,
+)
 from duwamish_spark.graph import vertices_from
 from duwamish_spark.pregel import free_local_checkpoint
 
@@ -222,3 +227,118 @@ def test_kcore_max_rounds_truncation(spark):
     full = k_core(spark, v, e, 2)
     assert full.halted
     assert full.state.count() == 0  # a path has no 2-core
+
+
+# ---------------------------------------------------------------------------
+# SCC — Kosaraju oracle (iterative, pure Python)
+# ---------------------------------------------------------------------------
+
+
+def _scc_kosaraju(edges):
+    """{id: min-member-of-SCC} via iterative Kosaraju."""
+    ids = sorted({x for p in edges for x in p})
+    fwd, rev = {v: [] for v in ids}, {v: [] for v in ids}
+    for s, d in edges:
+        if s != d:
+            fwd[s].append(d)
+            rev[d].append(s)
+    seen, order = set(), []
+    for root in ids:
+        if root in seen:
+            continue
+        stack = [(root, iter(fwd[root]))]
+        seen.add(root)
+        while stack:
+            v, it = stack[-1]
+            nxt = next((w for w in it if w not in seen), None)
+            if nxt is None:
+                order.append(v)
+                stack.pop()
+            else:
+                seen.add(nxt)
+                stack.append((nxt, iter(fwd[nxt])))
+    comp = {}
+    for root in reversed(order):
+        if root in comp:
+            continue
+        members, stack = [root], [root]
+        comp[root] = root
+        while stack:
+            v = stack.pop()
+            for w in rev[v]:
+                if w not in comp:
+                    comp[w] = root
+                    members.append(w)
+                    stack.append(w)
+        mn = min(members)
+        for m in members:
+            comp[m] = mn
+    return comp
+
+
+def _scc_state(res):
+    return {r["id"]: r["scc_id"] for r in res.state.collect()}
+
+
+def test_scc_matches_kosaraju_on_fixture(spark):
+    # EDGES: a<->b<->c 3-cycle (via c->a), d one-way feeder (trim),
+    # e self-loop only in-edge (trim) — exercises both phases
+    v, e = _graph(spark)
+    res = strongly_connected_components(spark, v, e)
+    assert _scc_state(res) == _scc_kosaraju(EDGES)
+    assert res.halted
+
+
+def test_scc_two_cycles_one_way_bridge(spark):
+    edges = (
+        [(f"x{i}", f"x{(i + 1) % 4}") for i in range(4)]
+        + [(f"y{i}", f"y{(i + 1) % 3}") for i in range(3)]
+        + [("x0", "y0"), ("t0", "x1"), ("x2", "t1")]
+    )
+    v, e = _graph(spark, edges)
+    res = strongly_connected_components(spark, v, e)
+    got = _scc_state(res)
+    assert got == _scc_kosaraju(edges)
+    # the two cycles stay separate SCCs despite the bridge
+    assert got["x0"] == "x0" and got["y2"] == "y0"
+    assert got["t0"] == "t0" and got["t1"] == "t1"
+
+
+def test_scc_random_graphs_match_kosaraju(spark):
+    rng = np.random.default_rng(5)
+    for n, m in ((12, 30), (25, 60), (40, 200)):
+        edges = [
+            (f"v{a:02d}", f"v{b:02d}")
+            for a, b in rng.integers(0, n, size=(m, 2)).tolist()
+        ]
+        v, e = _graph(spark, edges)
+        res = strongly_connected_components(spark, v, e)
+        assert _scc_state(res) == _scc_kosaraju(edges), f"n={n},m={m}"
+        assert res.halted
+
+
+def test_scc_pure_dag_is_all_trim(spark):
+    # a DAG must be fully assigned by the trim phase alone (every SCC is a
+    # singleton) — no coloring rounds should appear in the metrics
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    v, e = _graph(spark, edges)
+    res = strongly_connected_components(spark, v, e)
+    got = _scc_state(res)
+    assert got == {x: x for x in "abcde"}
+    assert all(m["phase"] == "trim" for m in res.metrics)
+
+
+def test_scc_max_rounds_truncation(spark):
+    # chain of 3 2-cycles: p0<->p1 -> p2<->p3 -> p4<->p5; trim removes
+    # nothing and confinement needs multiple outer passes under a tiny
+    # budget — must report halted=False without raising
+    edges = []
+    for i in (0, 2, 4):
+        edges += [(f"p{i}", f"p{i+1}"), (f"p{i+1}", f"p{i}")]
+    edges += [("p1", "p2"), ("p3", "p4")]
+    v, e = _graph(spark, edges)
+    res = strongly_connected_components(spark, v, e, max_rounds=2)
+    assert not res.halted
+    full = strongly_connected_components(spark, v, e)
+    assert full.halted
+    assert _scc_state(full) == _scc_kosaraju(edges)
