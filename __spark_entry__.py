@@ -174,6 +174,16 @@ def q_kcore_converged(spark, sf_dir):
     return res.state.select("id", "degree")
 
 
+def q_random_walks_l5(spark, sf_dir):
+    """Deterministic uniform random walks (length 5, 2 per vertex) over
+    the directed edge table — hash-driven step choice, replayed exactly
+    by a DuckDB chained CTE (algorithms/walks.py)."""
+    from duwamish_spark.algorithms import random_walks
+
+    e = _edges(spark, sf_dir)
+    return random_walks(spark, e, walk_length=5, walks_per_vertex=2)
+
+
 def q_scc_converged(spark, sf_dir):
     """Strongly connected components of the DIRECTED edge table
     (trim + forward-min coloring + backward confinement, algorithms/scc.py)
@@ -627,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_round3": q_hits_round3,
         "kcore_converged": q_kcore_converged,
         "scc_converged": q_scc_converged,
+        "random_walks_l5": q_random_walks_l5,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
         "cc_round1": q_cc_round1,
@@ -777,6 +788,41 @@ def _kcore_chain_sql(k: int, rounds: int) -> str:
         + f"\nSELECT id, degree FROM d{rounds} WHERE degree >= {k}"
     )
 
+
+
+def _walks_chain_sql(length: int, walks_per_vertex: int) -> str:
+    """Chained-CTE replay of random_walks: ranked distinct adjacency +
+    md5-hash step picks (the cross-engine hash family: DuckDB
+    ('0x'||substring(md5,1,8))::UINTEGER == Spark conv(substring(md5,1,8),
+    16,10)). Walks start from every distinct src."""
+    ctes = [
+        _EDGE_CTE,
+        "de AS (SELECT DISTINCT src, dst FROM e)",
+        "adj AS (SELECT src, dst, row_number() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM de)",
+        "degs AS (SELECT src, count(*) AS deg FROM de GROUP BY src)",
+        f"w0 AS (SELECT DISTINCT de.src AS start_id, t.w::INTEGER AS walk, "
+        f"de.src AS vertex FROM de CROSS JOIN (SELECT unnest(generate_series"
+        f"(0, {walks_per_vertex - 1})) AS w) t)",
+    ]
+    for t in range(1, length + 1):
+        pick = (
+            f"('0x' || substring(md5(w.start_id::VARCHAR || ':' || "
+            f"w.walk::VARCHAR || ':{t}'), 1, 8))::UINTEGER::BIGINT % degs.deg"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT w.start_id, w.walk, adj.dst AS vertex "
+            f"FROM w{t-1} w JOIN degs ON degs.src = w.vertex "
+            f"JOIN adj ON adj.src = w.vertex AND adj.idx = ({pick}))"
+        )
+    selects = [
+        f"SELECT start_id, walk, {t} AS step, vertex FROM w{t}"
+        for t in range(0, length + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
 
 
 _PARSE_EDGES_SQL_TEMPLATE = r"""
@@ -1075,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cc_converged": _CC_REACH_SQL,
         "scc_converged": _SCC_MUTUAL_SQL,
+        "random_walks_l5": _walks_chain_sql(5, 2),
         "cc_converged_shuffle": _CC_REACH_SQL,
         "cc_auto_algorithm": _CC_REACH_SQL,
         "cc_alternating": _CC_REACH_SQL,

@@ -10,12 +10,14 @@ from duwamish_spark.algorithms.recommend import recommendations
 from duwamish_spark.algorithms.hits import hits
 from duwamish_spark.algorithms.kcore import k_core
 from duwamish_spark.algorithms.scc import strongly_connected_components
+from duwamish_spark.algorithms.walks import random_walks
 
 __all__ = [
     "recommendations",
     "hits",
     "k_core",
     "strongly_connected_components",
+    "random_walks",
     "pagerank",
     "pagerank_step",
     "connected_components",

@@ -16,6 +16,7 @@ from duwamish_spark.algorithms import (
     k_core,
     pagerank,
     strongly_connected_components,
+    random_walks,
 )
 from duwamish_spark.graph import vertices_from
 from duwamish_spark.pregel import free_local_checkpoint
@@ -342,3 +343,87 @@ def test_scc_max_rounds_truncation(spark):
     full = strongly_connected_components(spark, v, e)
     assert full.halted
     assert _scc_state(full) == _scc_kosaraju(edges)
+
+
+# ---------------------------------------------------------------------------
+# random walks — md5-replay oracle (pure Python)
+# ---------------------------------------------------------------------------
+
+
+def _walks_python(edges, length, walks_per_vertex, starts=None):
+    import hashlib
+
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(ds) for s, ds in adj.items()}
+    rows = set()
+    for s in sorted(starts if starts is not None else adj):
+        for w in range(walks_per_vertex):
+            v = s
+            rows.add((s, w, 0, v))
+            for t in range(1, length + 1):
+                nbrs = adj.get(v)
+                if not nbrs:
+                    break
+                h = int(
+                    hashlib.md5(f"{s}:{w}:{t}".encode()).hexdigest()[:8], 16
+                )
+                v = nbrs[h % len(nbrs)]
+                rows.add((s, w, t, v))
+    return rows
+
+
+def _walk_rows(df):
+    return {
+        (r["start_id"], r["walk"], r["step"], r["vertex"])
+        for r in df.collect()
+    }
+
+
+def test_random_walks_match_md5_replay(spark):
+    v, e = _graph(spark)
+    got = _walk_rows(random_walks(spark, e, walk_length=4, walks_per_vertex=3))
+    assert got == _walks_python(EDGES, 4, 3)
+
+
+def test_random_walks_dead_end_terminates_early(spark):
+    # b has no out-edges: every walk reaching b stops there
+    edges = [("a", "b"), ("a", "c"), ("c", "a")]
+    v, e = _graph(spark, edges)
+    got = _walk_rows(random_walks(spark, e, walk_length=6, walks_per_vertex=2))
+    assert got == _walks_python(edges, 6, 2)
+    ended_at_b = {(s, w) for s, w, t, x in got if x == "b"}
+    for s, w in ended_at_b:
+        last = max(t for s2, w2, t, _ in got if (s2, w2) == (s, w))
+        assert any((s, w, last, "b") == r for r in got)
+
+
+def test_random_walks_custom_starts_and_length_zero(spark):
+    v, e = _graph(spark)
+    starts = spark.createDataFrame([("a",), ("d",)], "id string")
+    got = _walk_rows(
+        random_walks(spark, e, walk_length=3, walks_per_vertex=1, starts=starts)
+    )
+    assert got == _walks_python(EDGES, 3, 1, starts=["a", "d"])
+    zero = random_walks(spark, e, walk_length=0, walks_per_vertex=1)
+    assert {r["step"] for r in zero.collect()} == {0}
+
+
+def test_random_walks_partitioning_invariant(spark):
+    v, e = _graph(spark)
+    a = _walk_rows(random_walks(spark, e, walk_length=5, walks_per_vertex=2))
+    b = _walk_rows(
+        random_walks(
+            spark, e, walk_length=5, walks_per_vertex=2, num_partitions=7
+        )
+    )
+    assert a == b
+
+
+def test_random_walks_rejects_bad_args(spark):
+    v, e = _graph(spark)
+    with pytest.raises(ValueError, match="walk_length"):
+        random_walks(spark, e, walk_length=-1)
+    with pytest.raises(ValueError, match="walks_per_vertex"):
+        random_walks(spark, e, walks_per_vertex=0)
