@@ -374,6 +374,23 @@ def main() -> None:
         "halted": kc.halted,
     }
 
+    from duwamish_spark.algorithms import strongly_connected_components
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    t0 = time.monotonic()
+    scc = strongly_connected_components(
+        spark, verts, edges, num_partitions=cpus, encode=False
+    )
+    n_scc = scc.state.agg(F.countDistinct("scc_id")).collect()[0][0]
+    sec = time.monotonic() - t0
+    extra["scc"] = {
+        "sec": round(sec, 3),
+        "iterations": scc.supersteps,
+        "components": n_scc,
+        "halted": scc.halted,
+    }
+    free_local_checkpoint(scc.state)
+
     t0 = time.monotonic()
     src_row = edges.limit(1).collect()
     if src_row:

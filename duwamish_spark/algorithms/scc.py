@@ -233,6 +233,8 @@ def strongly_connected_components(
             halted = True
             break
 
+    for tmp in (alive_v, alive_e):
+        free_local_checkpoint(tmp)
     if assigned:
         state = assigned[0]
         for part in assigned[1:]:
@@ -243,6 +245,15 @@ def strongly_connected_components(
         ).where(F.lit(False))
     if mapping is not None:
         state = decode_state(state, mapping, ("id", "scc_id"))
+    # single freeable checkpoint for the caller (decode folded in so the
+    # plan is a bare LogicalRDD either way); release the per-pass parts
+    # and the id mapping now — similarity.py IVF leak lesson: never hand
+    # back a plan over pinned blocks the caller can't free
+    state = state.localCheckpoint(eager=True)
+    for part in assigned:
+        free_local_checkpoint(part)
+    if mapping is not None:
+        free_local_checkpoint(mapping)
     return PregelResult(
         state=state,
         supersteps=steps,

@@ -427,3 +427,26 @@ def test_random_walks_rejects_bad_args(spark):
         random_walks(spark, e, walk_length=-1)
     with pytest.raises(ValueError, match="walks_per_vertex"):
         random_walks(spark, e, walks_per_vertex=0)
+
+
+def test_scc_and_walks_release_intermediate_storage(spark):
+    def storage_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    v, e = _graph(spark)
+    before = storage_ids()
+    res = strongly_connected_components(spark, v, e)
+    res.state.count()
+    free_local_checkpoint(res.state)
+    leaked = storage_ids() - before
+    assert not leaked, f"scc leaked storage blocks: {leaked}"
+
+    before = storage_ids()
+    w = random_walks(spark, e, walk_length=3, walks_per_vertex=2)
+    w.count()
+    free_local_checkpoint(w)
+    leaked = storage_ids() - before
+    assert not leaked, f"random_walks leaked storage blocks: {leaked}"
