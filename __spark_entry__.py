@@ -184,6 +184,17 @@ def q_random_walks_l5(spark, sf_dir):
     return random_walks(spark, e, walk_length=5, walks_per_vertex=2)
 
 
+def q_anf_sketch_h3(spark, sf_dir):
+    """HyperANF sparse HLL registers of every vertex's out-3-ball
+    (algorithms/anf.py): integer relation (id, reg, val), m=16 —
+    replayed bit-for-bit by a DuckDB chained CTE (register merge is
+    groupBy-max, the hash is the cross-engine md5 family)."""
+    from duwamish_spark.algorithms import anf_sketches
+
+    e = _edges(spark, sf_dir)
+    return anf_sketches(spark, e, 3, m=16).state
+
+
 def q_scc_converged(spark, sf_dir):
     """Strongly connected components of the DIRECTED edge table
     (trim + forward-min coloring + backward confinement, algorithms/scc.py)
@@ -638,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_converged": q_kcore_converged,
         "scc_converged": q_scc_converged,
         "random_walks_l5": q_random_walks_l5,
+        "anf_sketch_h3": q_anf_sketch_h3,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
         "cc_round1": q_cc_round1,
@@ -823,6 +835,31 @@ def _walks_chain_sql(length: int, walks_per_vertex: int) -> str:
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+def _anf_chain_sql(h: int, m: int) -> str:
+    """Chained-CTE replay of anf_sketches: seed one HLL register per
+    vertex from the md5 family (reg = u32(md5[0:8]) % m, val =
+    33 - bitlength(u32(md5[8:16])), rho(0)=33 — bin() strips leading
+    zeros identically in Spark and DuckDB), then h rounds of pull-
+    along-out-edges + groupBy(id, reg) max(val)."""
+    reg = f"(('0x' || substring(md5(id::VARCHAR), 1, 8))::UINTEGER::BIGINT % {m})"
+    x2 = "('0x' || substring(md5(id::VARCHAR), 9, 8))::UINTEGER"
+    val = f"(CASE WHEN {x2} = 0 THEN 33 ELSE 33 - length(bin({x2})) END)::INTEGER"
+    ctes = [
+        _EDGE_CTE,
+        "de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        "av AS (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        f"s0 AS (SELECT id, {reg} AS reg, {val} AS val FROM av)",
+    ]
+    for t in range(1, h + 1):
+        ctes.append(
+            f"s{t} AS (SELECT id, reg, max(val) AS val FROM ("
+            f"SELECT de.src AS id, s.reg, s.val FROM s{t-1} s "
+            f"JOIN de ON de.dst = s.id "
+            f"UNION ALL SELECT id, reg, val FROM s{t-1}) GROUP BY id, reg)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, reg, val FROM s{h}"
 
 
 _PARSE_EDGES_SQL_TEMPLATE = r"""
@@ -1122,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_converged": _CC_REACH_SQL,
         "scc_converged": _SCC_MUTUAL_SQL,
         "random_walks_l5": _walks_chain_sql(5, 2),
+        "anf_sketch_h3": _anf_chain_sql(3, 16),
         "cc_converged_shuffle": _CC_REACH_SQL,
         "cc_auto_algorithm": _CC_REACH_SQL,
         "cc_alternating": _CC_REACH_SQL,

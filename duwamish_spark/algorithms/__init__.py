@@ -11,6 +11,12 @@ from duwamish_spark.algorithms.hits import hits
 from duwamish_spark.algorithms.kcore import k_core
 from duwamish_spark.algorithms.scc import strongly_connected_components
 from duwamish_spark.algorithms.walks import random_walks
+from duwamish_spark.algorithms.anf import (
+    anf_sketches,
+    effective_diameter,
+    hll_estimates,
+    neighborhood_function,
+)
 
 __all__ = [
     "recommendations",
@@ -18,6 +24,10 @@ __all__ = [
     "k_core",
     "strongly_connected_components",
     "random_walks",
+    "anf_sketches",
+    "neighborhood_function",
+    "hll_estimates",
+    "effective_diameter",
     "pagerank",
     "pagerank_step",
     "connected_components",

@@ -450,3 +450,142 @@ def test_scc_and_walks_release_intermediate_storage(spark):
     free_local_checkpoint(w)
     leaked = storage_ids() - before
     assert not leaked, f"random_walks leaked storage blocks: {leaked}"
+
+
+# ---------------------------------------------------------------------------
+# ANF / HyperANF — md5-register replay + exact-BFS sanity
+# ---------------------------------------------------------------------------
+
+
+def _anf_python(edges, h, m):
+    import hashlib
+
+    de = {(s, d) for s, d in edges if s != d}
+    verts = sorted({x for p in de for x in p})
+    out_adj = {}
+    for s, d in de:
+        out_adj.setdefault(s, []).append(d)
+
+    def u32(s, off):
+        return int(hashlib.md5(s.encode()).hexdigest()[off : off + 8], 16)
+
+    sk = {}
+    for v in verts:
+        x2 = u32(str(v), 8)
+        sk[v] = {u32(str(v), 0) % m: 33 - x2.bit_length() if x2 else 33}
+    for _ in range(h):
+        nxt = {}
+        for v in verts:
+            merged = dict(sk[v])
+            for w in out_adj.get(v, []):
+                for r, val in sk[w].items():
+                    if merged.get(r, -1) < val:
+                        merged[r] = val
+            nxt[v] = merged
+        sk = nxt
+    return {(v, r, val) for v in verts for r, val in sk[v].items()}
+
+
+def _ball_sizes(edges, h):
+    de = {(s, d) for s, d in edges if s != d}
+    verts = sorted({x for p in de for x in p})
+    out_adj = {}
+    for s, d in de:
+        out_adj.setdefault(s, set()).add(d)
+    sizes = {}
+    for v in verts:
+        ball = {v}
+        for _ in range(h):
+            ball |= {w for u in ball for w in out_adj.get(u, ())}
+        sizes[v] = len(ball)
+    return sizes
+
+
+def test_anf_sketches_match_md5_replay(spark):
+    from duwamish_spark.algorithms import anf_sketches
+
+    v, e = _graph(spark)
+    for h in (0, 1, 3):
+        res = anf_sketches(spark, e, h, m=16)
+        got = {(r["id"], r["reg"], r["val"]) for r in res.state.collect()}
+        assert got == _anf_python(EDGES, h, 16), f"h={h}"
+
+
+def test_anf_fixpoint_halts_early(spark):
+    from duwamish_spark.algorithms import anf_sketches
+
+    v, e = _graph(spark)
+    res = anf_sketches(spark, e, 50, m=16)
+    assert res.halted and res.supersteps < 50
+    # fixpoint state equals an exact long replay
+    got = {(r["id"], r["reg"], r["val"]) for r in res.state.collect()}
+    assert got == _anf_python(EDGES, 50, 16)
+
+
+def test_neighborhood_function_matches_python_estimator(spark):
+    import math
+
+    from duwamish_spark.algorithms import neighborhood_function
+    from duwamish_spark.algorithms.anf import _alpha
+
+    m = 16
+    v, e = _graph(spark)
+    counts, res = neighborhood_function(spark, e, 3, m=m)
+
+    def est_from(sk_rows):
+        per = {}
+        for vid, r, val in sk_rows:
+            per.setdefault(vid, {})[r] = val
+        total = 0.0
+        for vid, regs in per.items():
+            z = (m - len(regs)) + sum(2.0 ** -v for v in regs.values())
+            raw = _alpha(m) * m * m / z
+            zeros = m - len(regs)
+            if raw <= 2.5 * m and zeros > 0:
+                raw = m * math.log(m / zeros)
+            total += raw
+        return total
+
+    for h in range(4):
+        expect = est_from(_anf_python(EDGES, h, m))
+        assert counts[h] == pytest.approx(expect, rel=1e-9), f"h={h}"
+    # monotone series
+    assert all(b >= a - 1e-9 for a, b in zip(counts, counts[1:]))
+
+
+def test_neighborhood_function_tracks_exact_balls(spark):
+    # bigger random digraph: estimates at m=64 should land within 35% of
+    # the exact pair counts (deterministic — fixed registers, no RNG)
+    from duwamish_spark.algorithms import neighborhood_function
+
+    rng = np.random.default_rng(3)
+    edges = [
+        (f"v{a:02d}", f"v{b:02d}")
+        for a, b in rng.integers(0, 40, size=(120, 2)).tolist()
+    ]
+    v, e = _graph(spark, edges)
+    counts, _ = neighborhood_function(spark, e, 4, m=64)
+    for h in (1, 2, 4):
+        exact = sum(_ball_sizes(edges, h).values())
+        assert counts[h] == pytest.approx(exact, rel=0.35), f"h={h}"
+
+
+def test_effective_diameter_interpolation():
+    from duwamish_spark.algorithms import effective_diameter
+
+    assert effective_diameter([]) == 0.0
+    assert effective_diameter([10.0]) == 0.0
+    # N = [4, 8, 10]; target 9 -> between hop 1 and 2 at (9-8)/(10-8)
+    assert effective_diameter([4.0, 8.0, 10.0]) == pytest.approx(1.5)
+    # flat series: diameter 0 (q*N already met at hop 0)
+    assert effective_diameter([5.0, 5.0, 5.0]) == 0.0
+
+
+def test_anf_rejects_bad_args(spark):
+    from duwamish_spark.algorithms import anf_sketches
+
+    v, e = _graph(spark)
+    with pytest.raises(ValueError, match="h must"):
+        anf_sketches(spark, e, -1)
+    with pytest.raises(ValueError, match="m must"):
+        anf_sketches(spark, e, 2, m=0)
