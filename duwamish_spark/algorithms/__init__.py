@@ -17,8 +17,18 @@ from duwamish_spark.algorithms.anf import (
     hll_estimates,
     neighborhood_function,
 )
+from duwamish_spark.algorithms.structure import (
+    clustering_coefficient,
+    k_truss,
+    link_prediction,
+    modularity,
+)
 
 __all__ = [
+    "clustering_coefficient",
+    "link_prediction",
+    "k_truss",
+    "modularity",
     "recommendations",
     "hits",
     "k_core",

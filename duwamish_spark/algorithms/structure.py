@@ -1,0 +1,321 @@
+"""Local graph-structure operators: clustering coefficient, link
+prediction, k-truss, modularity.
+
+These extend the link-analysis surface past the reference's four
+programs (reference scope: duwamish's PageRank / components / SSSP /
+recommendations examples) with the neighborhood-structure queries a
+web-graph / import-graph pipeline runs next: per-vertex clustering,
+who-should-link-to-whom scoring, cohesive-subgraph extraction, and
+community-quality scoring for the label-propagation output.
+
+All four are pure declarative DataFrame compositions — no UDFs, no
+driver loops over rows — so Catalyst keeps them whole-stage-codegen and
+AQE handles skew splits:
+
+- the one intermediate that can explode at 10^12-edge scale is the
+  wedge relation; every operator here routes it through the
+  degree-ordered orientation (`triangles.degree_oriented_edges`), which
+  caps it at O(E^1.5) worst case;
+- floating-point outputs are either a single division at the end
+  (deterministic regardless of aggregation order) or fixed-point
+  integer sums (`aa_micro`), so every operator is DuckDB-oracle-able
+  bit-for-bit under round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duwamish_spark.graph import canonical_edges, require_columns
+from duwamish_spark.pregel import PregelResult, free_local_checkpoint
+
+
+def _simple_adjacency(edges: DataFrame) -> DataFrame:
+    """Symmetrized distinct simple adjacency (u, v): both directions of
+    every distinct undirected non-loop edge."""
+    c = canonical_edges(edges)
+    return c.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        c.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+
+
+def _simple_degrees(edges: DataFrame) -> DataFrame:
+    """(id, degree) on the undirected simple graph."""
+    return (
+        _simple_adjacency(edges)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def oriented_triangles(edges: DataFrame) -> DataFrame:
+    """(a, b, c) — every distinct undirected triangle exactly once.
+
+    Wedges come from the degree-ordered orientation (out-degree capped
+    at O(sqrt(E)) per vertex — the skew guard); the closing probe runs
+    against the canonical id-ordered edge set, so each triangle is
+    emitted once, at its minimum-(degree, id) corner. Column contract:
+    (b, c) is the closing edge with b < c by id; `a` is the wedge
+    center and carries no order relation to b/c.
+    """
+    from duwamish_spark.algorithms.triangles import degree_oriented_edges
+
+    o = degree_oriented_edges(edges)
+    wedges = (
+        o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(o.select(F.col("src").alias("a"), F.col("dst").alias("c")), "a")
+        .where(F.col("b") < F.col("c"))
+    )
+    closing = canonical_edges(edges).select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+
+
+def clustering_coefficient(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """Per-vertex local clustering coefficient on the undirected simple
+    graph: (id, degree, triangles, lcc) with lcc = 2T / (d(d-1)),
+    0.0 where degree < 2.
+
+    One triangle enumeration (degree-ordered, O(E^1.5) cap) + one
+    degree aggregation + one join — the lcc division is the only float
+    op, applied once per output row, so the result is deterministic and
+    SQL-replayable. Reference scope: structural extension beyond
+    duwamish's four example programs (README.md lists PageRank/SSSP/
+    recommendations; triangles are SURVEY.md §2.4's fourth algorithm).
+    """
+    tri = oriented_triangles(edges)
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    deg = _simple_degrees(edges)
+    if vertices is not None:
+        deg = vertices.join(deg, "id", "left").select(
+            "id", F.coalesce("degree", F.lit(0)).alias("degree")
+        )
+    out = deg.join(counts, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+    )
+    d = F.col("degree").cast("double")
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.round(2.0 * F.col("triangles") / (d * (d - 1.0)), 6),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("lcc", lcc)
+
+
+AA_SCALE = 1_000_000  # fixed-point scale for the Adamic-Adar sum
+
+
+def link_prediction(
+    edges: DataFrame,
+    k: int = 5,
+    *,
+    max_center_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Top-k link-prediction candidates per vertex on the undirected
+    simple graph: (a, b, common_neighbors, jaccard, adamic_adar) for
+    non-adjacent pairs a < b, ranked by common-neighbor count.
+
+    Classic neighborhood scores (Liben-Nowell & Kleinberg 2003):
+
+    - ``common_neighbors`` = |N(a) ∩ N(b)|
+    - ``jaccard``          = cn / (d(a) + d(b) - cn)
+    - ``adamic_adar``      = Σ_{z ∈ N(a)∩N(b)} 1/ln(d(z))
+
+    Plan shape: one wedge self-join through the shared neighbor z
+    (groupBy (a, b) — the same cost model as triangle counting), one
+    anti-join against existing edges, one per-a window top-k (map-side
+    WindowGroupLimit prunes before the final shuffle). The Adamic-Adar
+    sum is accumulated in FIXED-POINT (floor(AA_SCALE/ln d) per term,
+    BIGINT sum) so the aggregate is order-independent and exactly
+    replayable in SQL; the float columns are single end divisions.
+
+    Rank order is (common_neighbors DESC, b ASC) — integer-deterministic
+    on purpose: ranking by the float aa score would make row k vs k+1
+    sensitive to last-ulp ln() differences across engines.
+
+    Scale guard: wedge centers z contribute O(d(z)^2) pairs; at
+    web-graph skew pass ``max_center_degree`` to drop super-hub centers
+    (bounded score loss: each dropped term is < 1/ln(max_center_degree)
+    and hub-mediated pairs are the weakest AA evidence by construction).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    adj = _simple_adjacency(edges)
+    deg = _simple_degrees(edges)
+    centers = deg.withColumnRenamed("id", "u")
+    if max_center_degree is not None:
+        centers = centers.where(F.col("degree") <= max_center_degree)
+    # weight carried by the center: fixed-point 1/ln(deg). Degree-1
+    # vertices can never be wedge centers (a wedge needs two incident
+    # edges) but the weight column is computed on every adjacency row,
+    # so guard the ln(1)=0 division explicitly for ANSI mode.
+    wadj = adj.join(centers, "u").select(
+        "u",
+        "v",
+        F.when(
+            F.col("degree") >= 2,
+            F.floor(
+                F.lit(float(AA_SCALE)) / F.log(F.col("degree").cast("double"))
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("w"),
+    )
+    pairs = (
+        wadj.select(F.col("u").alias("z"), F.col("v").alias("a"), "w")
+        .join(
+            wadj.select(F.col("u").alias("z"), F.col("v").alias("b")),
+            "z",
+        )
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("w").alias("aa_micro"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    existing = canonical_edges(edges).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    cand = pairs.join(existing, ["a", "b"], "left_anti")
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
+    scored = cand.join(da, "a").join(db, "b")
+    w = Window.partitionBy("a").orderBy(
+        F.col("common_neighbors").desc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa_micro").cast("double") / AA_SCALE, 6).alias(
+                "adamic_adar"
+            ),
+        )
+    )
+
+
+def k_truss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    *,
+    max_rounds: int = 100,
+) -> PregelResult:
+    """k-truss of the undirected simple graph: the maximal subgraph in
+    which every edge participates in >= k-2 triangles (within the
+    subgraph). State = surviving canonical edges (src, dst, support).
+
+    Simultaneous peel (Cohen 2008): each round recomputes per-edge
+    triangle support on the surviving edge set (degree-ordered wedge
+    enumeration — the O(E^1.5) cap holds every round because the edge
+    set only shrinks) and drops edges below k-2; halts at the first
+    zero-drop round. Support counts are monotone non-increasing, so the
+    surviving-count signature riding the materializing job detects the
+    fixpoint without a comparison join — the same halt contract as the
+    engine's other peels (kcore.py).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    require_columns(edges, ("src", "dst"), "edges")
+    need = k - 2
+    cur = canonical_edges(edges).localCheckpoint(eager=True)
+    n_prev = cur.count()
+    metrics: list[dict] = []
+    halted = n_prev == 0
+    rounds = 0
+    for t in range(1, max_rounds + 1):
+        tri = oriented_triangles(cur)
+        sides = (
+            tri.select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+            .unionAll(
+                tri.select(
+                    F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")
+                )
+            )
+            .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        )
+        support = sides.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        nxt = (
+            cur.select("src", "dst")
+            .join(support, ["src", "dst"], "left")
+            .select(
+                "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+            )
+            .where(F.col("support") >= need)
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        rounds = t
+        metrics.append({"superstep": t, "edges": int(n), "dropped": int(n_prev - n)})
+        free_local_checkpoint(cur)
+        cur = nxt
+        if n == n_prev or n == 0:
+            halted = True
+            break
+        n_prev = n
+    return PregelResult(
+        state=cur, supersteps=rounds, metrics=metrics, halted=halted, run_id="ktruss"
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex labeling over the undirected simple
+    graph, as a 1-row DataFrame (modularity DOUBLE, round 6).
+
+    Q = e_in/m - Σ_c (D_c / 2m)^2 where m = |simple edges|, e_in =
+    within-community edges, D_c = Σ degree over community c. Everything
+    is integer (counts, degree sums, sum of squares) until the final
+    two divisions, evaluated in one fixed expression — deterministic
+    and exactly SQL-replayable. ``labels`` must be (id, label).
+
+    The intended producer is :func:`label_propagation` (SURVEY.md §2's
+    community algorithm); modularity is its standard quality gate.
+    """
+    require_columns(labels, ("id", "label"), "labels")
+    c = canonical_edges(edges)
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("_ls"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_ld"))
+    tagged = c.join(la, "src").join(lb, "dst")
+    agg = tagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("_ls") == F.col("_ld")).cast("long")).alias("e_in"),
+    )
+    dc = (
+        _simple_degrees(edges)
+        .join(labels, "id")
+        .groupBy("label")
+        .agg(F.sum("degree").alias("dsum"))
+        .agg(F.sum(F.col("dsum") * F.col("dsum")).alias("sum_d2"))
+    )
+    return agg.crossJoin(dc).select(
+        F.round(
+            F.col("e_in").cast("double") / F.col("m")
+            - F.col("sum_d2").cast("double")
+            / (4.0 * F.col("m").cast("double") * F.col("m").cast("double")),
+            6,
+        ).alias("modularity")
+    )

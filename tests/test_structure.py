@@ -1,0 +1,253 @@
+"""Structure operators (clustering coefficient, link prediction,
+k-truss, modularity) vs brute-force Python oracles."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from duwamish_spark.algorithms import (
+    clustering_coefficient,
+    k_truss,
+    label_propagation,
+    link_prediction,
+    modularity,
+)
+from duwamish_spark.algorithms.structure import AA_SCALE, oriented_triangles
+
+# a small graph with triangles, a hub, a pendant, a self-loop and a dup edge
+EDGES = [
+    (1, 2), (2, 3), (1, 3),          # triangle 1-2-3
+    (3, 4), (4, 5), (3, 5),          # triangle 3-4-5
+    (5, 6), (6, 7),                  # path tail
+    (1, 4),                          # chord: makes 1-3-4 a triangle
+    (2, 2),                          # self loop (must be ignored)
+    (1, 2),                          # duplicate (must be ignored)
+    (8, 1), (8, 2), (8, 3), (8, 4),  # hub 8
+]
+
+
+def _edges_df(spark, edges=EDGES):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def _simple(edges):
+    s = set()
+    for a, b in edges:
+        if a != b:
+            s.add((min(a, b), max(a, b)))
+    return s
+
+
+def _nbrs(simple):
+    n = defaultdict(set)
+    for a, b in simple:
+        n[a].add(b)
+        n[b].add(a)
+    return n
+
+
+def _brute_lcc(edges):
+    nb = _nbrs(_simple(edges))
+    out = {}
+    for v, ns in nb.items():
+        d = len(ns)
+        t = sum(
+            1
+            for x in ns
+            for y in ns
+            if x < y and y in nb[x]
+        )
+        lcc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        out[v] = (d, t, lcc)
+    return out
+
+
+def test_clustering_coefficient_matches_brute(spark):
+    got = {
+        r["id"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in clustering_coefficient(_edges_df(spark)).collect()
+    }
+    assert got == _brute_lcc(EDGES)
+
+
+def test_clustering_coefficient_random_graph(spark):
+    rng = random.Random(11)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    got = {
+        r["id"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in clustering_coefficient(_edges_df(spark, edges)).collect()
+    }
+    assert got == _brute_lcc(edges)
+
+
+def test_oriented_triangles_each_once(spark):
+    tri = oriented_triangles(_edges_df(spark)).collect()
+    got = sorted(tuple(sorted((r["a"], r["b"], r["c"]))) for r in tri)
+    assert got == sorted({(1, 2, 3), (3, 4, 5), (1, 3, 4), (1, 2, 8),
+                          (1, 3, 8), (2, 3, 8), (1, 4, 8), (3, 4, 8)})
+    assert len(got) == len(set(got))
+
+
+def _brute_link_pred(edges, k, min_common=1, max_center_degree=None):
+    simple = _simple(edges)
+    nb = _nbrs(simple)
+    scores = {}
+    for a in nb:
+        for b in nb:
+            if a >= b or (min(a, b), max(a, b)) in simple:
+                continue
+            common = [
+                z
+                for z in nb[a] & nb[b]
+                if max_center_degree is None or len(nb[z]) <= max_center_degree
+            ]
+            cn = len(common)
+            if cn < min_common:
+                continue
+            aa_micro = sum(int(AA_SCALE / math.log(len(nb[z]))) for z in common)
+            jacc = round(cn / (len(nb[a]) + len(nb[b]) - cn), 6)
+            scores[(a, b)] = (cn, jacc, round(aa_micro / AA_SCALE, 6))
+    per_a = defaultdict(list)
+    for (a, b), (cn, j, aa) in scores.items():
+        per_a[a].append((-cn, b, j, aa))
+    out = {}
+    for a, rows in per_a.items():
+        for negcn, b, j, aa in sorted(rows)[:k]:
+            out[(a, b)] = (-negcn, j, aa)
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 3, 100])
+def test_link_prediction_matches_brute(spark, k):
+    got = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["jaccard"], r["adamic_adar"])
+        for r in link_prediction(_edges_df(spark), k=k).collect()
+    }
+    assert got == _brute_link_pred(EDGES, k)
+
+
+def test_link_prediction_random_graph(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    got = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["jaccard"], r["adamic_adar"])
+        for r in link_prediction(_edges_df(spark, edges), k=4, min_common=2).collect()
+    }
+    assert got == _brute_link_pred(edges, 4, min_common=2)
+
+
+def test_link_prediction_max_center_degree_drops_hub_wedges(spark):
+    got = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["jaccard"], r["adamic_adar"])
+        for r in link_prediction(
+            _edges_df(spark), k=100, max_center_degree=3
+        ).collect()
+    }
+    assert got == _brute_link_pred(EDGES, 100, max_center_degree=3)
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    rows = link_prediction(_edges_df(spark), k=100).collect()
+    simple = _simple(EDGES)
+    assert all((r["a"], r["b"]) not in simple for r in rows)
+    assert all(r["a"] < r["b"] for r in rows)
+
+
+def test_link_prediction_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        link_prediction(_edges_df(spark), k=0)
+
+
+def _brute_ktruss(edges, k):
+    cur = _simple(edges)
+    while cur:
+        nb = _nbrs(cur)
+        support = {
+            (a, b): len(nb[a] & nb[b])
+            for a, b in cur
+        }
+        nxt = {e for e in cur if support[e] >= k - 2}
+        if nxt == cur:
+            return {e: support[e] for e in cur}
+        cur = nxt
+    return {}
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_ktruss_matches_brute(spark, k):
+    res = k_truss(spark, _edges_df(spark), k)
+    got = {(r["src"], r["dst"]): r["support"] for r in res.state.collect()}
+    assert got == _brute_ktruss(EDGES, k)
+    assert res.halted
+
+
+def test_ktruss_random_graph(spark):
+    rng = random.Random(3)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(180)]
+    res = k_truss(spark, _edges_df(spark, edges), 4)
+    got = {(r["src"], r["dst"]): r["support"] for r in res.state.collect()}
+    assert got == _brute_ktruss(edges, 4)
+
+
+def test_ktruss_metrics_monotone_and_storage_released(spark):
+    sc = spark.sparkContext
+    res = k_truss(spark, _edges_df(spark), 4)
+    sizes = [m["edges"] for m in res.metrics]
+    assert sizes == sorted(sizes, reverse=True)
+    # only the final state may hold storage
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    free_local_checkpoint(res.state)
+    assert not sc._jsc.sc().getRDDStorageInfo()
+
+
+def test_ktruss_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        k_truss(spark, _edges_df(spark), 1)
+
+
+def _brute_modularity(edges, labels):
+    simple = _simple(edges)
+    nb = _nbrs(simple)
+    m = len(simple)
+    e_in = sum(1 for a, b in simple if labels[a] == labels[b])
+    dsum = defaultdict(int)
+    for v, ns in nb.items():
+        dsum[labels[v]] += len(ns)
+    sum_d2 = sum(d * d for d in dsum.values())
+    return round(e_in / m - sum_d2 / (4.0 * m * m), 6)
+
+
+def test_modularity_matches_brute(spark):
+    e = _edges_df(spark)
+    labels = {v: (0 if v <= 4 or v == 8 else 1) for v in range(1, 9)}
+    ldf = spark.createDataFrame(list(labels.items()), "id long, label long")
+    got = modularity(e, ldf).collect()[0]["modularity"]
+    assert got == _brute_modularity(EDGES, labels)
+
+
+def test_modularity_of_lp_labels(spark):
+    e = _edges_df(spark)
+    v = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    res = label_propagation(spark, v, e, max_supersteps=3)
+    labels = {r["id"]: r["label"] for r in res.state.collect()}
+    got = modularity(e, res.state).collect()[0]["modularity"]
+    assert got == _brute_modularity(EDGES, labels)
+
+
+def test_modularity_perfect_split_is_positive(spark):
+    # two disjoint cliques labeled by clique: the textbook high-Q case
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    e = _edges_df(spark, edges)
+    labels = {v: v // 10 for v in list(range(4)) + list(range(10, 14))}
+    ldf = spark.createDataFrame(list(labels.items()), "id long, label long")
+    got = modularity(e, ldf).collect()[0]["modularity"]
+    assert got == _brute_modularity(edges, labels) == 0.5
