@@ -287,6 +287,55 @@ def q_triangles_per_vertex(spark, sf_dir):
     return triangle_count_per_vertex(e, v)
 
 
+def q_local_clustering(spark, sf_dir):
+    """Per-vertex local clustering coefficient (degree-ordered triangle
+    enumeration + simple degree; algorithms/structure.py)."""
+    from duwamish_spark.algorithms import clustering_coefficient
+
+    v, e = _graph(spark, sf_dir)
+    return clustering_coefficient(e, vertices=v)
+
+
+def q_link_pred_top5(spark, sf_dir):
+    """Top-5 link-prediction candidates per vertex (common neighbors /
+    Jaccard / fixed-point Adamic-Adar) over non-adjacent pairs with >= 2
+    shared neighbors — rank order is integer-deterministic (cn DESC,
+    b ASC), so the window top-k is exactly SQL-replayable."""
+    from duwamish_spark.algorithms import link_prediction
+
+    e = _edges(spark, sf_dir)
+    return link_prediction(e, k=5, min_common=2)
+
+
+# Fixed-round k-truss peel: the derived lineitem graph is dense and
+# support-homogeneous (min support 20, median 48 at sf0.01), so EVERY
+# converged truss at a peeling k collapses to empty — a trivial gate.
+# Two rounds at k=42 leave a 27k-edge mid-peel state whose supports the
+# oracle replays exactly; convergence semantics are brute-force-tested
+# in tests/test_structure.py instead. Fixed rounds are SF-independent
+# (no pinned halt constant to drift).
+KTRUSS_K = 42
+KTRUSS_ROUNDS = 2
+
+
+def q_ktruss_round2(spark, sf_dir):
+    from duwamish_spark.algorithms import k_truss
+
+    e = _edges(spark, sf_dir)
+    return k_truss(spark, e, KTRUSS_K, max_rounds=KTRUSS_ROUNDS).state
+
+
+def q_lp_modularity_round3(spark, sf_dir):
+    """Newman modularity of the LP round-3 labeling — the community
+    algorithm's standard quality gate; integer aggregation with a single
+    fixed-order float expression at the end."""
+    from duwamish_spark.algorithms import label_propagation, modularity
+
+    v, e = _graph(spark, sf_dir)
+    labels = label_propagation(spark, v, e, max_supersteps=3).state
+    return modularity(e, labels)
+
+
 SSSP_SOURCE = 1  # vertex 1 = l_orderkey % 599 == 1 (orderkey 1 always exists)
 
 
@@ -661,6 +710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_round3": q_lp_round3,
         "lp_round3_shuffle": q_lp_round3_shuffle,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "local_clustering": q_local_clustering,
+        "link_pred_top5": q_link_pred_top5,
+        "ktruss_round2": q_ktruss_round2,
+        "lp_modularity_round3": q_lp_modularity_round3,
         "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
         "recommend_round4": q_recommend_round4,
@@ -686,7 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 
-def _lp_chain_sql(steps: int) -> str:
+def _lp_chain_ctes(steps: int) -> list[str]:
     ctes = [_EDGE_CTE, _VERT_CTE, _SYM_CTE, "l0 AS (SELECT id, id AS label FROM v)"]
     for i in range(1, steps + 1):
         ctes.append(
@@ -701,7 +754,14 @@ def _lp_chain_sql(steps: int) -> str:
             f"l{i} AS (SELECT v.id AS id, coalesce(p.m, v.id) AS label FROM v "
             f"LEFT JOIN (SELECT id, m FROM p{i} WHERE rn = 1) p ON p.id = v.id)"
         )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{steps}"
+    return ctes
+
+
+def _lp_chain_sql(steps: int) -> str:
+    return (
+        "WITH " + ",\n".join(_lp_chain_ctes(steps))
+        + f"\nSELECT id, label FROM l{steps}"
+    )
 
 
 def _sssp_chain_sql(steps: int) -> str:
@@ -800,6 +860,130 @@ def _kcore_chain_sql(k: int, rounds: int) -> str:
         + f"\nSELECT id, degree FROM d{rounds} WHERE degree >= {k}"
     )
 
+
+# canonical simple edges + symmetrized adjacency + simple degree — the
+# shared substrate of the structure oracles (structure.py's
+# canonical_edges / _simple_adjacency / _simple_degrees)
+_CANON_CTE = (
+    "c AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst "
+    "FROM e WHERE src <> dst)"
+)
+_SADJ_CTE = "sadj AS (SELECT src AS u, dst AS w2 FROM c UNION ALL SELECT dst, src FROM c)"
+_SDEG_CTE = "sdeg AS (SELECT u AS id, count(*) AS degree FROM sadj GROUP BY u)"
+# id-ordered triangle enumeration (a < b < c3, each triangle once) —
+# same triangle SET as the engine's degree-ordered orientation
+_TRI_CTE = (
+    "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c3 "
+    "FROM c e1 JOIN c e2 ON e1.dst = e2.src "
+    "JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
+)
+
+
+def _local_clustering_sql() -> str:
+    return f"""
+        WITH {_EDGE_CTE}, {_VERT_CTE}, {_CANON_CTE}, {_SADJ_CTE}, {_SDEG_CTE},
+        {_TRI_CTE},
+        corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c3 FROM tri),
+        cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id)
+        SELECT v.id AS id,
+               coalesce(sdeg.degree, 0) AS degree,
+               coalesce(cnt.t, 0) AS triangles,
+               CASE WHEN coalesce(sdeg.degree, 0) >= 2
+                    THEN round(2.0 * coalesce(cnt.t, 0)
+                               / (sdeg.degree * (sdeg.degree - 1.0)), 6)
+                    ELSE 0.0 END AS lcc
+        FROM v LEFT JOIN sdeg ON sdeg.id = v.id LEFT JOIN cnt ON cnt.id = v.id
+    """
+
+
+def _link_pred_sql(k: int, min_common: int, aa_scale: int) -> str:
+    """Replay of structure.link_prediction: wedge self-join through the
+    shared neighbor with a fixed-point 1/ln(degree) center weight, anti
+    join vs existing edges, per-a top-k window ordered (cn DESC, b ASC)."""
+    return f"""
+        WITH {_EDGE_CTE}, {_CANON_CTE}, {_SADJ_CTE}, {_SDEG_CTE},
+        wadj AS (SELECT sadj.u AS u, sadj.w2 AS v2,
+                        CASE WHEN sdeg.degree >= 2
+                             THEN floor({aa_scale}.0 / ln(sdeg.degree))::BIGINT
+                             ELSE 0 END AS w
+                 FROM sadj JOIN sdeg ON sdeg.id = sadj.u),
+        pairs AS (SELECT w1.v2 AS a, w2.v2 AS b,
+                         count(*) AS common_neighbors, sum(w1.w) AS aa_micro
+                  FROM wadj w1 JOIN wadj w2 ON w1.u = w2.u
+                  WHERE w1.v2 < w2.v2
+                  GROUP BY w1.v2, w2.v2
+                  HAVING count(*) >= {min_common}),
+        cand AS (SELECT p.* FROM pairs p LEFT JOIN c
+                 ON c.src = p.a AND c.dst = p.b WHERE c.src IS NULL),
+        scored AS (SELECT cand.*, da.degree AS da, db.degree AS db,
+                          row_number() OVER (PARTITION BY cand.a
+                              ORDER BY cand.common_neighbors DESC, cand.b ASC) AS rn
+                   FROM cand JOIN sdeg da ON da.id = cand.a
+                   JOIN sdeg db ON db.id = cand.b)
+        SELECT a, b, common_neighbors,
+               round(common_neighbors::DOUBLE
+                     / (da + db - common_neighbors), 6) AS jaccard,
+               round(aa_micro::DOUBLE / {aa_scale}, 6) AS adamic_adar
+        FROM scored WHERE rn <= {k}
+    """
+
+
+def _ktruss_fixed_sql(k: int, rounds: int) -> str:
+    """Chained-CTE replay of structure.k_truss at fixed rounds: each
+    round recomputes per-edge triangle support on the surviving edge set
+    (id-ordered enumeration — same triangle set as the engine's
+    degree-ordered orientation) and keeps support >= k-2."""
+    need = k - 2
+    ctes = [_EDGE_CTE, _CANON_CTE, "t0 AS (SELECT src, dst FROM c)"]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"tri{i} AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c3 "
+            f"FROM t{i-1} e1 JOIN t{i-1} e2 ON e1.dst = e2.src "
+            f"JOIN t{i-1} e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
+        )
+        ctes.append(
+            f"sides{i} AS (SELECT a AS src, b AS dst FROM tri{i} "
+            f"UNION ALL SELECT a, c3 FROM tri{i} "
+            f"UNION ALL SELECT b, c3 FROM tri{i})"
+        )
+        ctes.append(
+            f"sup{i} AS (SELECT src, dst, count(*) AS s FROM sides{i} "
+            f"GROUP BY src, dst)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT t.src, t.dst, coalesce(sup{i}.s, 0) AS support "
+            f"FROM t{i-1} t LEFT JOIN sup{i} ON sup{i}.src = t.src "
+            f"AND sup{i}.dst = t.dst WHERE coalesce(sup{i}.s, 0) >= {need})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src, dst, support FROM t{rounds}"
+    )
+
+
+def _modularity_lp_sql(steps: int) -> str:
+    """LP chained-CTE labels + Newman modularity: integer counts/degree
+    sums, one fixed-order float expression at the end (mirrors
+    structure.modularity exactly)."""
+    ctes = _lp_chain_ctes(steps)
+    ctes += [
+        f"labels AS (SELECT id, label FROM l{steps})",
+        _CANON_CTE,
+        _SADJ_CTE,
+        _SDEG_CTE,
+        "mm AS (SELECT count(*) AS m, "
+        "sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS e_in "
+        "FROM c JOIN labels la ON la.id = c.src JOIN labels lb ON lb.id = c.dst)",
+        "dsum AS (SELECT l.label AS label, sum(sdeg.degree) AS ds "
+        "FROM sdeg JOIN labels l ON l.id = sdeg.id GROUP BY l.label)",
+        "d2 AS (SELECT sum(ds * ds) AS sum_d2 FROM dsum)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT round(e_in::DOUBLE / m - sum_d2::DOUBLE "
+        + "/ (4.0 * m::DOUBLE * m::DOUBLE), 6) AS modularity FROM mm, d2"
+    )
 
 
 def _walks_chain_sql(length: int, walks_per_vertex: int) -> str:
@@ -1187,6 +1371,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.id AS id, coalesce(cnt.t, 0) AS triangles
             FROM v LEFT JOIN cnt ON cnt.id = v.id
         """,
+        "local_clustering": _local_clustering_sql(),
+        "link_pred_top5": _link_pred_sql(5, 2, 1_000_000),
+        "ktruss_round2": _ktruss_fixed_sql(KTRUSS_K, KTRUSS_ROUNDS),
+        "lp_modularity_round3": _modularity_lp_sql(3),
         "sssp_round3": _sssp_chain_sql(3),
         "triangle_count": f"""
             WITH {_EDGE_CTE},
