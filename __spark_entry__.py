@@ -195,6 +195,18 @@ def q_anf_sketch_h3(spark, sf_dir):
     return anf_sketches(spark, e, 3, m=16).state
 
 
+def q_harmonic_h3(spark, sf_dir):
+    """Harmonic centrality estimate from the HyperANF sketches (h=3,
+    m=16): H(v) = Σ_t (|ball(v,t)|-|ball(v,t-1)|)/t with ball sizes from
+    the HLL estimator — deterministic given the integer registers; the
+    oracle replays the sketch chain AND the estimator float ops in the
+    same fixed order (algorithms/anf.py harmonic_centrality)."""
+    from duwamish_spark.algorithms import harmonic_centrality
+
+    e = _edges(spark, sf_dir)
+    return harmonic_centrality(spark, e, 3, m=16)
+
+
 def q_scc_converged(spark, sf_dir):
     """Strongly connected components of the DIRECTED edge table
     (trim + forward-min coloring + backward confinement, algorithms/scc.py)
@@ -699,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_converged": q_scc_converged,
         "random_walks_l5": q_random_walks_l5,
         "anf_sketch_h3": q_anf_sketch_h3,
+        "harmonic_h3": q_harmonic_h3,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
         "cc_round1": q_cc_round1,
@@ -1021,7 +1034,7 @@ def _walks_chain_sql(length: int, walks_per_vertex: int) -> str:
     )
 
 
-def _anf_chain_sql(h: int, m: int) -> str:
+def _anf_chain_ctes(h: int, m: int) -> list[str]:
     """Chained-CTE replay of anf_sketches: seed one HLL register per
     vertex from the md5 family (reg = u32(md5[0:8]) % m, val =
     33 - bitlength(u32(md5[8:16])), rho(0)=33 — bin() strips leading
@@ -1043,7 +1056,49 @@ def _anf_chain_sql(h: int, m: int) -> str:
             f"JOIN de ON de.dst = s.id "
             f"UNION ALL SELECT id, reg, val FROM s{t-1}) GROUP BY id, reg)"
         )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, reg, val FROM s{h}"
+    return ctes
+
+
+def _anf_chain_sql(h: int, m: int) -> str:
+    return (
+        "WITH " + ",\n".join(_anf_chain_ctes(h, m))
+        + f"\nSELECT id, reg, val FROM s{h}"
+    )
+
+
+def _harmonic_chain_sql(h: int, m: int) -> str:
+    """ANF sketch chain + the HLL estimator per hop + the fixed
+    left-associative harmonic sum — every float op in the same order as
+    anf.hll_estimates / anf.harmonic_centrality, so the double result is
+    bit-identical (zpresent is an exact dyadic sum; alpha*m^2 and 2.5*m
+    are emitted via repr so both engines parse the identical double)."""
+    from duwamish_spark.algorithms.anf import _alpha
+
+    am2 = repr(_alpha(m) * m * m)
+    thresh = repr(2.5 * m)
+    fm = repr(float(m))
+    ctes = _anf_chain_ctes(h, m)
+    for t in range(0, h + 1):
+        ctes.append(
+            f"r{t} AS (SELECT id, {m} - count(*) AS zeros, "
+            f"{am2}::DOUBLE / (({m} - count(*)) + sum(power(2.0, -val))) AS raw "
+            f"FROM s{t} GROUP BY id)"
+        )
+        ctes.append(
+            f"est{t} AS (SELECT id, CASE WHEN raw <= {thresh}::DOUBLE "
+            f"AND zeros > 0 THEN {fm}::DOUBLE * ln({fm}::DOUBLE / zeros) "
+            f"ELSE raw END AS est FROM r{t})"
+        )
+    terms = " + ".join(
+        f"(est{t}.est - est{t-1}.est) / {repr(float(t))}::DOUBLE"
+        for t in range(1, h + 1)
+    )
+    joins = " ".join(f"JOIN est{t} ON est{t}.id = est0.id" for t in range(1, h + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT est0.id AS id, round({terms}, 6) AS harmonic "
+        + f"FROM est0 {joins}"
+    )
 
 
 _PARSE_EDGES_SQL_TEMPLATE = r"""
@@ -1344,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_converged": _SCC_MUTUAL_SQL,
         "random_walks_l5": _walks_chain_sql(5, 2),
         "anf_sketch_h3": _anf_chain_sql(3, 16),
+        "harmonic_h3": _harmonic_chain_sql(3, 16),
         "cc_converged_shuffle": _CC_REACH_SQL,
         "cc_auto_algorithm": _CC_REACH_SQL,
         "cc_alternating": _CC_REACH_SQL,

@@ -14,6 +14,7 @@ from duwamish_spark.algorithms.walks import random_walks
 from duwamish_spark.algorithms.anf import (
     anf_sketches,
     effective_diameter,
+    harmonic_centrality,
     hll_estimates,
     neighborhood_function,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "strongly_connected_components",
     "random_walks",
     "anf_sketches",
+    "harmonic_centrality",
     "neighborhood_function",
     "hll_estimates",
     "effective_diameter",

@@ -221,6 +221,86 @@ def neighborhood_function(
     return counts[: h + 1], res
 
 
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    h: int,
+    *,
+    m: int = 64,
+    num_partitions: int | None = None,
+    partitioner=None,
+) -> DataFrame:
+    """Per-vertex harmonic centrality estimate from the HyperANF
+    sketches: (id, harmonic) with
+
+        H(v) = Σ_{t=1..h} (|ball(v,t)| - |ball(v,t-1)|) / t
+
+    — the Boldi-Vigna application of ANF (distances measured along
+    OUT-edges here; pass reversed edges for the usual in-distance
+    convention). |ball| estimates come from :func:`hll_estimates`, so
+    the whole computation is deterministic given the integer sketches:
+    per-round estimates are materialized as V-row localCheckpoints
+    (small — one double per vertex per hop), then combined in ONE fixed
+    left-associative expression (t ascending), which makes the float
+    result bit-reproducible and exactly SQL-replayable. Rounds cut
+    short by the sketch fixpoint contribute zero terms by construction
+    (the ball stopped growing), matching the padding here.
+    """
+    ests: list[DataFrame] = []
+
+    def _record(t: int, state: DataFrame) -> None:
+        ests.append(hll_estimates(state, m).localCheckpoint(eager=True))
+
+    res = anf_sketches(
+        spark,
+        edges,
+        h,
+        m=m,
+        num_partitions=num_partitions,
+        partitioner=partitioner,
+        on_round=_record,
+    )
+    # ball(v, 0) = {v} through the same estimator (bias-consistent with
+    # the per-hop estimates — the same convention as
+    # neighborhood_function's N(0))
+    reg, val = hll_register(F.col("id"), m)
+    init = res.state.select("id").distinct().select("id", reg, val)
+    ests.insert(0, hll_estimates(init, m))
+    while len(ests) < h + 1:
+        ests.append(ests[-1])
+    cur = ests[0].select("id", F.col("est").alias("e0"))
+    seen: set[int] = set()
+    for t in range(1, h + 1):
+        if id(ests[t]) in seen or ests[t] is ests[t - 1]:
+            # fixpoint padding: reuse the previous column, no join
+            cur = cur.withColumn(f"e{t}", F.col(f"e{t-1}"))
+        else:
+            seen.add(id(ests[t]))
+            cur = cur.join(
+                ests[t].select("id", F.col("est").alias(f"e{t}")), "id"
+            )
+    expr = None
+    for t in range(1, h + 1):
+        term = (F.col(f"e{t}") - F.col(f"e{t-1}")) / F.lit(float(t))
+        expr = term if expr is None else expr + term
+    if expr is None:
+        expr = F.lit(0.0)
+    # materialize the V-row result BEFORE freeing the per-round sketch
+    # storage it derives from; the caller owns `out` (free it with
+    # free_local_checkpoint when done — same contract as PregelResult
+    # state)
+    out = cur.select("id", F.round(expr, 6).alias("harmonic")).localCheckpoint(
+        eager=True
+    )
+    freed: set[int] = set()
+    for e in ests[1 : h + 1]:
+        if id(e) not in freed:
+            freed.add(id(e))
+            free_local_checkpoint(e)
+    free_local_checkpoint(res.state)
+    return out
+
+
 def effective_diameter(counts: list[float], q: float = 0.9) -> float:
     """Smallest h with N(h) ≥ q·N(max), linearly interpolated between
     hops (Boldi-Vigna convention)."""

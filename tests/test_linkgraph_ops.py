@@ -589,3 +589,114 @@ def test_anf_rejects_bad_args(spark):
         anf_sketches(spark, e, -1)
     with pytest.raises(ValueError, match="m must"):
         anf_sketches(spark, e, 2, m=0)
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality from ANF sketches
+# ---------------------------------------------------------------------------
+
+
+def _harmonic_python(edges, h, m):
+    """Per-vertex harmonic estimate replayed from the md5 sketches with
+    the exact float-op order of anf.harmonic_centrality."""
+    import math
+
+    from duwamish_spark.algorithms.anf import _alpha
+
+    def est_per_vertex(sk_rows):
+        per = {}
+        for vid, r, val in sk_rows:
+            per.setdefault(vid, {})[r] = val
+        out = {}
+        for vid, regs in per.items():
+            z = (m - len(regs)) + sum(2.0 ** -v for v in regs.values())
+            raw = _alpha(m) * m * m / z
+            zeros = m - len(regs)
+            if raw <= 2.5 * m and zeros > 0:
+                raw = m * math.log(m / zeros)
+            out[vid] = raw
+        return out
+
+    ests = [est_per_vertex(_anf_python(edges, t, m)) for t in range(h + 1)]
+    verts = ests[0].keys()
+    return {
+        v: round(
+            sum((ests[t][v] - ests[t - 1][v]) / float(t) for t in range(1, h + 1)),
+            6,
+        )
+        for v in verts
+    }
+
+
+def test_harmonic_centrality_matches_python_replay(spark):
+    from duwamish_spark.algorithms import harmonic_centrality
+
+    _, e = _graph(spark)
+    for h in (1, 3):
+        got = {
+            r["id"]: r["harmonic"]
+            for r in harmonic_centrality(spark, e, h, m=16).collect()
+        }
+        want = _harmonic_python(EDGES, h, 16)
+        assert set(got) == set(want)
+        for vid in want:
+            assert got[vid] == pytest.approx(want[vid], abs=2e-6), (vid, h)
+
+
+def test_harmonic_centrality_fixpoint_padding(spark):
+    # h far past the graph radius: extra hops add exactly zero terms
+    from duwamish_spark.algorithms import harmonic_centrality
+
+    _, e = _graph(spark)
+    a = {r["id"]: r["harmonic"] for r in harmonic_centrality(spark, e, 4, m=16).collect()}
+    b = {r["id"]: r["harmonic"] for r in harmonic_centrality(spark, e, 9, m=16).collect()}
+    assert a == b
+
+
+def test_harmonic_centrality_tracks_exact_on_random_graph(spark):
+    # m=64 HLL error ~13% per ball; harmonic sums of ball deltas should
+    # land near the exact BFS harmonic values in aggregate
+    import math
+
+    rng = np.random.default_rng(5)
+    edges = [
+        (f"v{a:02d}", f"v{b:02d}")
+        for a, b in rng.integers(0, 40, size=(130, 2)).tolist()
+    ]
+    from duwamish_spark.algorithms import harmonic_centrality
+
+    _, e = _graph(spark, edges)
+    got = {r["id"]: r["harmonic"] for r in harmonic_centrality(spark, e, 6, m=64).collect()}
+
+    de = {(s, d) for s, d in edges if s != d}
+    out_adj = {}
+    for s, d in de:
+        out_adj.setdefault(s, set()).add(d)
+    verts = sorted({x for p in de for x in p})
+    exact = {}
+    for v in verts:
+        dist = {v: 0}
+        frontier = {v}
+        d = 0
+        while frontier and d < 6:
+            d += 1
+            frontier = {
+                w for u in frontier for w in out_adj.get(u, ()) if w not in dist
+            }
+            for w in frontier:
+                dist[w] = d
+        exact[v] = sum(1.0 / dd for w, dd in dist.items() if dd > 0)
+    tot_got = sum(got.values())
+    tot_exact = sum(exact.values())
+    assert tot_got == pytest.approx(tot_exact, rel=0.3)
+
+
+def test_harmonic_centrality_releases_sketch_storage(spark):
+    from duwamish_spark.algorithms import harmonic_centrality
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    _, e = _graph(spark)
+    out = harmonic_centrality(spark, e, 3, m=16)
+    out.count()
+    free_local_checkpoint(out)
+    assert not spark.sparkContext._jsc.sc().getRDDStorageInfo()
