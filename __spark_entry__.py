@@ -126,6 +126,25 @@ def q_pagerank_fixed10_shuffle(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_weighted_fixed5(spark, sf_dir):
+    """Weighted-edge PageRank (weight_col): out-edges carry
+    rank*weight/out_strength, 5 fixed supersteps. Weights are small
+    exact integers-as-doubles so the strength sums are exact and the
+    chained-CTE oracle replays the same arithmetic."""
+    from duwamish_spark.algorithms import pagerank
+    from duwamish_spark.graph import vertices_from
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    e = li.select(
+        (F.col("l_orderkey") % MOD).alias("src"),
+        (F.col("l_partkey") % MOD).alias("dst"),
+        (F.lit(1.0) + (F.col("l_suppkey") % 4)).alias("wt"),
+    )
+    v = vertices_from(None, e.select("src", "dst"))
+    res = pagerank(spark, v, e, tol=0.0, max_supersteps=5, weight_col="wt")
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_ppr_seeded_fixed10(spark, sf_dir):
     """Personalized PageRank: restart mass concentrated on the ids
     divisible by 10 (60 of the 599 vertices), 10 fixed supersteps.
@@ -706,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10_shuffle": q_pagerank_fixed10_shuffle,
         "pagerank_converged": q_pagerank_converged,
         "ppr_seeded_fixed10": q_ppr_seeded_fixed10,
+        "pagerank_weighted_fixed5": q_pagerank_weighted_fixed5,
         "hits_round3": q_hits_round3,
         "kcore_converged": q_kcore_converged,
         "scc_converged": q_scc_converged,
@@ -820,6 +840,33 @@ def _pagerank_chain_sql(steps: int, personalized: bool = False) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 6) AS rank FROM r{steps}"
+    )
+
+
+def _pagerank_weighted_chain_sql(steps: int) -> str:
+    """Weighted chained-CTE replay: per-edge w = wt / out_strength
+    (strength sums are exact — weights are small integers-as-doubles),
+    messages rank * w, same update as classic."""
+    ew = (
+        f"e AS (SELECT l_orderkey % {MOD} AS src, l_partkey % {MOD} AS dst, "
+        f"1.0 + (l_suppkey % 4) AS wt FROM lineitem)"
+    )
+    ctes = [
+        ew,
+        _VERT_CTE,
+        "st AS (SELECT src, sum(wt) AS s FROM e GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, e.wt / st.s AS w FROM e JOIN st ON st.src = e.src)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"r{i} AS (SELECT v.id AS id, 0.15 + 0.85 * coalesce(s.s2, 0) AS rank FROM v "
+            f"LEFT JOIN (SELECT ew.dst AS id, sum(r.rank * ew.w) AS s2 FROM ew "
+            f"JOIN r{i-1} r ON r.id = ew.src GROUP BY ew.dst) s ON s.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{steps}"
     )
 
 
@@ -1374,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         )
     out.update({
         "ppr_seeded_fixed10": _pagerank_chain_sql(10, personalized=True),
+        "pagerank_weighted_fixed5": _pagerank_weighted_chain_sql(5),
         "hits_round3": _hits_chain_sql(3),
         "graph_out_degree": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE}

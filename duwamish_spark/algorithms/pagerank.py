@@ -53,13 +53,25 @@ def _edges_weighted(
     num_partitions: int | None,
     part_col: str = "src",
     partitioner=None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     from duwamish_spark.graph import partition_by
 
-    deg = out_degrees(vertices, edges)
-    ew = edges.join(
-        deg.withColumnRenamed("id", "src"), "src"
-    ).select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
+    if weight_col is None:
+        deg = out_degrees(vertices, edges)
+        ew = edges.join(
+            deg.withColumnRenamed("id", "src"), "src"
+        ).select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
+    else:
+        # weighted graph: each out-edge carries weight/out-strength, the
+        # standard generalization of 1/out_degree (reduces to it when all
+        # weights are equal). Vertices whose out-strength is zero or
+        # negative would make the division meaningless — weights must be
+        # positive (ANSI mode turns a zero strength into a hard error).
+        strength = edges.groupBy("src").agg(F.sum(weight_col).alias("_s"))
+        ew = edges.join(strength, "src").select(
+            "src", "dst", (F.col(weight_col) / F.col("_s")).alias("w")
+        )
     if num_partitions:
         ew = partition_by(ew, num_partitions, part_col, partitioner)
     return ew
@@ -146,6 +158,7 @@ def pagerank(
     initial_ranks: DataFrame | None = None,
     teleport: DataFrame | None = None,
     partitioner=None,
+    weight_col: str | None = None,
 ) -> PregelResult:
     """Run PageRank to L1-residual convergence. Result state: (id, rank).
 
@@ -168,11 +181,20 @@ def pagerank(
     to the persisted edge table and the initial state (see
     graph.partition_by; reference: model/Partitioner.java:19-21). Results
     are partitioner-invariant (tested).
+
+    ``weight_col``: name of a positive edge-weight column — each out-edge
+    then carries ``rank * weight / out_strength`` instead of
+    ``rank / out_degree`` (identical when all weights are equal). The
+    normalization is computed once into the persisted edge table, so the
+    per-superstep plan is unchanged: weighted PageRank costs exactly the
+    same as unweighted.
     """
     from duwamish_spark.graph import require_columns
 
     require_columns(vertices, ("id",), "vertices")
     require_columns(edges, ("src", "dst"), "edges")
+    if weight_col is not None:
+        require_columns(edges, (weight_col,), "edges")
 
     mapping = None
     verts, e = vertices, edges
@@ -200,7 +222,8 @@ def pagerank(
             salt = suggest_salt(e, p)
 
     edges_w = _edges_weighted(
-        verts, e, num_partitions, "dst" if use_broadcast else "src", partitioner
+        verts, e, num_partitions, "dst" if use_broadcast else "src", partitioner,
+        weight_col,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     edges_w.count()  # materialize once; reused every superstep
 

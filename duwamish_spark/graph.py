@@ -113,13 +113,15 @@ def encode_vertices(vertices: DataFrame, num_partitions: int | None = None) -> D
 
 
 def encode_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
-    """Translate (src, dst) to encoded vids via two mapping joins (one-time)."""
+    """Translate (src, dst) to encoded vids via two mapping joins (one-time).
+    Extra edge columns (weights, labels, ...) ride along unchanged."""
     m_src = mapping.select(F.col("id").alias("src"), F.col("vid").alias("svid"))
     m_dst = mapping.select(F.col("id").alias("dst"), F.col("vid").alias("dvid"))
+    extra = [c for c in edges.columns if c not in ("src", "dst")]
     return (
         edges.join(m_src, "src")
         .join(m_dst, "dst")
-        .select(F.col("svid").alias("src"), F.col("dvid").alias("dst"))
+        .select(F.col("svid").alias("src"), F.col("dvid").alias("dst"), *extra)
     )
 
 

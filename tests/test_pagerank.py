@@ -189,3 +189,93 @@ def test_warm_start_converges_faster_and_equal(spark):
     assert warm_res.supersteps < cold_res.supersteps
     for v in ids:
         assert warm[v] == pytest.approx(cold[v], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# weighted edges (weight_col)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_pr_numpy(ids, wedges, steps, damping=0.85):
+    ix = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    r = np.ones(n)
+    strength = np.zeros(n)
+    for s, _, w in wedges:
+        strength[ix[s]] += w
+    for _ in range(steps):
+        nxt = np.full(n, 1.0 - damping)
+        for s, d, w in wedges:
+            nxt[ix[d]] += damping * r[ix[s]] * w / strength[ix[s]]
+        r = nxt
+    return {v: r[ix[v]] for v in ids}
+
+
+def _wedges_df(spark, wedges):
+    return spark.createDataFrame(wedges, "src string, dst string, wt double")
+
+
+def test_weighted_equal_weights_is_classic(spark):
+    ids = ["0", "1", "2", "3"]
+    edges = [("0", "1"), ("0", "2"), ("1", "2"), ("2", "3"), ("3", "0")]
+    wedges = [(s, d, 7.5) for s, d in edges]
+    classic, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=8)
+    res = pagerank(
+        spark, vertices_df(spark, ids), _wedges_df(spark, wedges),
+        tol=0.0, max_supersteps=8, weight_col="wt",
+    )
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    for v in ids:
+        assert got[v] == pytest.approx(classic[v], abs=1e-12)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_weighted_random_graph_vs_numpy(spark, strategy):
+    rng = np.random.default_rng(17)
+    ids = [str(i) for i in range(60)]
+    wedges = [
+        (str(int(a)), str(int(b)), float(w))
+        for (a, b), w in zip(
+            rng.integers(0, 60, size=(300, 2)).tolist(),
+            (0.25 + rng.random(300) * 4).tolist(),
+        )
+    ]
+    oracle = _weighted_pr_numpy(ids, wedges, 12)
+    res = pagerank(
+        spark, vertices_df(spark, ids), _wedges_df(spark, wedges),
+        tol=0.0, max_supersteps=12, weight_col="wt", strategy=strategy,
+    )
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    for v in ids:
+        assert got[v] == pytest.approx(oracle[v], abs=1e-9), v
+
+
+def test_weighted_survives_encoding_and_salt(spark):
+    rng = np.random.default_rng(23)
+    ids = [str(i) for i in range(40)]
+    wedges = [
+        (str(int(a)), str(int(b)), float(w))
+        for (a, b), w in zip(
+            rng.integers(0, 40, size=(200, 2)).tolist(),
+            (0.5 + rng.random(200)).tolist(),
+        )
+    ]
+    oracle = _weighted_pr_numpy(ids, wedges, 6)
+    res = pagerank(
+        spark, vertices_df(spark, ids), _wedges_df(spark, wedges),
+        tol=0.0, max_supersteps=6, weight_col="wt",
+        strategy="shuffle", salt=4, combine="raw", encode=True,
+    )
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    for v in ids:
+        assert got[v] == pytest.approx(oracle[v], abs=1e-9), v
+
+
+def test_weighted_missing_column_rejected(spark):
+    ids = ["0", "1"]
+    edges = [("0", "1")]
+    with pytest.raises(ValueError):
+        pagerank(
+            spark, vertices_df(spark, ids), edges_df(spark, edges),
+            weight_col="nope",
+        )
