@@ -214,6 +214,19 @@ def q_anf_sketch_h3(spark, sf_dir):
     return anf_sketches(spark, e, 3, m=16).state
 
 
+def q_betweenness_h3(spark, sf_dir):
+    """Source-sampled, hop-bounded Brandes betweenness (seeds = ids
+    divisible by 100, paths <= 3 hops): exact BIGINT sigma path counts,
+    dependency accumulation replayed level-by-level by the oracle
+    (algorithms/betweenness.py). seed_dist_sum / seeds_reaching are the
+    exact integer sampled-closeness byproducts."""
+    from duwamish_spark.algorithms import betweenness_sampled
+
+    v, e = _graph(spark, sf_dir)
+    src = v.where(F.col("id") % 100 == 0)
+    return betweenness_sampled(spark, v, e, src, 3)
+
+
 def q_harmonic_h3(spark, sf_dir):
     """Harmonic centrality estimate from the HyperANF sketches (h=3,
     m=16): H(v) = Σ_t (|ball(v,t)|-|ball(v,t-1)|)/t with ball sizes from
@@ -732,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_l5": q_random_walks_l5,
         "anf_sketch_h3": q_anf_sketch_h3,
         "harmonic_h3": q_harmonic_h3,
+        "betweenness_h3": q_betweenness_h3,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
         "cc_round1": q_cc_round1,
@@ -1113,6 +1127,59 @@ def _anf_chain_sql(h: int, m: int) -> str:
     )
 
 
+def _betweenness_chain_sql(h: int) -> str:
+    """Chained-CTE replay of betweenness_sampled: forward BFS with exact
+    BIGINT sigma (anti-join discovery per level), then Brandes dependency
+    accumulation walked H-1..0 — every float op mirrors the engine
+    ((1.0+delta)/sigma group sums, sigma*contrib per level)."""
+    ctes = [
+        _EDGE_CTE,
+        _VERT_CTE,
+        "de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        "f0 AS (SELECT id AS s, id AS pv, 0 AS dist, 1::BIGINT AS sigma "
+        "FROM v WHERE id % 100 = 0)",
+    ]
+    for t in range(1, h + 1):
+        ctes.append(
+            f"n{t} AS (SELECT f.s AS s, de.dst AS pv, sum(f.sigma) AS sigma "
+            f"FROM f{t-1} f JOIN de ON de.src = f.pv WHERE f.dist = {t-1} "
+            f"GROUP BY f.s, de.dst)"
+        )
+        ctes.append(
+            f"f{t} AS (SELECT * FROM f{t-1} UNION ALL "
+            f"SELECT n.s, n.pv, {t} AS dist, n.sigma FROM n{t} n "
+            f"LEFT JOIN f{t-1} p ON p.s = n.s AND p.pv = n.pv "
+            f"WHERE p.s IS NULL)"
+        )
+    ctes.append(
+        f"b{h} AS (SELECT s, pv, dist, sigma, 0.0 AS delta FROM f{h})"
+    )
+    for t in range(h - 1, -1, -1):
+        ctes.append(
+            f"c{t} AS (SELECT w.s AS s, de.src AS pv, "
+            f"sum((1.0 + w.delta) / w.sigma) AS contrib "
+            f"FROM b{t+1} w JOIN de ON de.dst = w.pv WHERE w.dist = {t+1} "
+            f"GROUP BY w.s, de.src)"
+        )
+        ctes.append(
+            f"b{t} AS (SELECT r.s, r.pv, r.dist, r.sigma, "
+            f"CASE WHEN r.dist = {t} THEN r.sigma * coalesce(c.contrib, 0.0) "
+            f"ELSE r.delta END AS delta FROM b{t+1} r "
+            f"LEFT JOIN c{t} c ON c.s = r.s AND c.pv = r.pv)"
+        )
+    ctes.append(
+        "agg AS (SELECT pv AS id, sum(delta) AS b, sum(dist) AS ds, "
+        "count(*) AS nr FROM b0 WHERE dist > 0 GROUP BY pv)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT v.id AS id, round(coalesce(agg.b, 0.0), 6) AS betweenness, "
+        + "coalesce(agg.ds, 0)::BIGINT AS seed_dist_sum, "
+        + "coalesce(agg.nr, 0)::BIGINT AS seeds_reaching "
+        + "FROM v LEFT JOIN agg ON agg.id = v.id"
+    )
+
+
 def _harmonic_chain_sql(h: int, m: int) -> str:
     """ANF sketch chain + the HLL estimator per hop + the fixed
     left-associative harmonic sum — every float op in the same order as
@@ -1448,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_l5": _walks_chain_sql(5, 2),
         "anf_sketch_h3": _anf_chain_sql(3, 16),
         "harmonic_h3": _harmonic_chain_sql(3, 16),
+        "betweenness_h3": _betweenness_chain_sql(3),
         "cc_converged_shuffle": _CC_REACH_SQL,
         "cc_auto_algorithm": _CC_REACH_SQL,
         "cc_alternating": _CC_REACH_SQL,

@@ -342,6 +342,16 @@ def main() -> None:
     lp.state.count()
     queries["label_propagation_5"] = round(time.monotonic() - t0, 3)
 
+    # community-quality gate on the LP labels (integer aggregation + one
+    # fixed float expression — a few joins, detail-only)
+    from duwamish_spark.algorithms import modularity
+
+    t0 = time.monotonic()
+    q_mod = modularity(edges, lp.state).collect()[0]["modularity"]
+    extra["lp_modularity"] = {
+        "sec": round(time.monotonic() - t0, 3), "modularity": q_mod,
+    }
+
     t0 = time.monotonic()
     tri = triangle_count(edges)
     queries["triangle_count"] = round(time.monotonic() - t0, 3)
@@ -391,6 +401,43 @@ def main() -> None:
     }
     free_local_checkpoint(scc.state)
 
+    # distance / centrality sketches (HyperANF family): fixpoint is round
+    # ~6 on this graph; h=4 already covers >99.9% of reachable pairs and
+    # bounds the E*m-row register shuffle of the saturated rounds
+    from duwamish_spark.algorithms import (
+        effective_diameter,
+        harmonic_centrality,
+        neighborhood_function,
+        random_walks,
+    )
+
+    t0 = time.monotonic()
+    counts, anf_res = neighborhood_function(
+        spark, edges, 4, m=16, num_partitions=cpus
+    )
+    sec = time.monotonic() - t0
+    extra["anf_m16_h4"] = {
+        "sec": round(sec, 3),
+        "rounds": anf_res.supersteps,
+        "pairs_h4": round(counts[-1]),
+        "effective_diameter": round(effective_diameter(counts), 3),
+    }
+    free_local_checkpoint(anf_res.state)
+
+    t0 = time.monotonic()
+    n_walk_rows = random_walks(
+        spark, edges, walk_length=5, walks_per_vertex=1
+    ).count()
+    extra["random_walks_l5"] = {
+        "sec": round(time.monotonic() - t0, 3), "rows": n_walk_rows,
+    }
+
+    t0 = time.monotonic()
+    hc = harmonic_centrality(spark, edges, 3, m=16, num_partitions=cpus)
+    hc.count()
+    extra["harmonic_h3"] = {"sec": round(time.monotonic() - t0, 3)}
+    free_local_checkpoint(hc)
+
     t0 = time.monotonic()
     src_row = edges.limit(1).collect()
     if src_row:
@@ -404,6 +451,37 @@ def main() -> None:
         reached = sp.last.get("reached")
         queries["sssp_converged"] = round(time.monotonic() - t0, 3)
         extra["sssp"] = {"rounds": sp.supersteps, "reached": reached}
+
+    # neighborhood-structure ops on a sparser deg-15 graph of the same
+    # vertex count: wedge-bounded workloads (the deg-127 graph's ~250 avg
+    # sym degree means ~6G wedges — the regime the max_center_degree
+    # guard exists for, not a sane default benchmark)
+    from duwamish_spark.algorithms import (
+        clustering_coefficient,
+        k_truss,
+        link_prediction,
+    )
+
+    spath, _ = edges_parquet(spark, n_files, 15)
+    sedges = spark.read.parquet(spath)
+    t0 = time.monotonic()
+    clustering_coefficient(sedges).count()
+    extra["clustering_coefficient_d15"] = {
+        "sec": round(time.monotonic() - t0, 3)
+    }
+    t0 = time.monotonic()
+    n_lp_pairs = link_prediction(sedges, k=5, min_common=2).count()
+    extra["link_pred_top5_d15"] = {
+        "sec": round(time.monotonic() - t0, 3), "pairs": n_lp_pairs,
+    }
+    t0 = time.monotonic()
+    kt = k_truss(spark, sedges, 4)
+    extra["ktruss_k4_d15"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "rounds": kt.supersteps,
+        "edges": kt.state.count(),
+    }
+    free_local_checkpoint(kt.state)
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs_path):

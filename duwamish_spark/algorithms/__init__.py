@@ -18,6 +18,7 @@ from duwamish_spark.algorithms.anf import (
     hll_estimates,
     neighborhood_function,
 )
+from duwamish_spark.algorithms.betweenness import betweenness_sampled
 from duwamish_spark.algorithms.structure import (
     clustering_coefficient,
     k_truss,
@@ -26,6 +27,7 @@ from duwamish_spark.algorithms.structure import (
 )
 
 __all__ = [
+    "betweenness_sampled",
     "clustering_coefficient",
     "link_prediction",
     "k_truss",
