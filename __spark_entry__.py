@@ -72,6 +72,15 @@ def q_out_degree(spark, sf_dir):
     return out_degrees(v, e)
 
 
+def q_degree_histogram(spark, sf_dir):
+    """Log2-bucketed out-degree distribution (graph.degree_histogram) —
+    the skew-diagnosis summary, all-integer."""
+    from duwamish_spark.graph import degree_histogram
+
+    v, e = _graph(spark, sf_dir)
+    return degree_histogram(v, e)
+
+
 def q_pagerank_step1(spark, sf_dir):
     from duwamish_spark.graph import out_degrees
 
@@ -201,6 +210,17 @@ def q_random_walks_l5(spark, sf_dir):
 
     e = _edges(spark, sf_dir)
     return random_walks(spark, e, walk_length=5, walks_per_vertex=2)
+
+
+def q_node2vec_l4(spark, sf_dir):
+    """Second-order biased walks (node2vec p=2, q=0.5, length 4):
+    fixed-point integer bias weights + hash-mod cumulative-weight ladder
+    — all-integer selection, replayed bit-for-bit by a DuckDB chained
+    CTE (algorithms/walks.py node2vec_walks)."""
+    from duwamish_spark.algorithms import node2vec_walks
+
+    e = _edges(spark, sf_dir)
+    return node2vec_walks(spark, e, walk_length=4, walks_per_vertex=1, p=2.0, q=0.5)
 
 
 def q_anf_sketch_h3(spark, sf_dir):
@@ -737,12 +757,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10": q_pagerank_fixed10,
         "pagerank_fixed10_shuffle": q_pagerank_fixed10_shuffle,
         "pagerank_converged": q_pagerank_converged,
+        "degree_histogram": q_degree_histogram,
         "ppr_seeded_fixed10": q_ppr_seeded_fixed10,
         "pagerank_weighted_fixed5": q_pagerank_weighted_fixed5,
         "hits_round3": q_hits_round3,
         "kcore_converged": q_kcore_converged,
         "scc_converged": q_scc_converged,
         "random_walks_l5": q_random_walks_l5,
+        "node2vec_l4": q_node2vec_l4,
         "anf_sketch_h3": q_anf_sketch_h3,
         "harmonic_h3": q_harmonic_h3,
         "betweenness_h3": q_betweenness_h3,
@@ -1093,6 +1115,62 @@ def _walks_chain_sql(length: int, walks_per_vertex: int) -> str:
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+def _node2vec_chain_sql(
+    length: int, walks_per_vertex: int, wr: int, wf: int, scale: int
+) -> str:
+    """Chained-CTE replay of node2vec_walks: ranked adjacency + degree
+    table, uniform first step (hash mod degree), then per-step biased
+    selection via the integer cumulative-weight ladder (wt = wr if
+    return / scale if prev->cand edge exists / wf otherwise;
+    pick = H(start:walk:t) mod total)."""
+    ctes = [
+        _EDGE_CTE,
+        "de AS (SELECT DISTINCT src, dst FROM e)",
+        "adj AS (SELECT src, dst, row_number() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM de)",
+        "degs AS (SELECT src, count(*) AS deg FROM de GROUP BY src)",
+        f"w0 AS (SELECT DISTINCT de.src AS start_id, t.w::INTEGER AS walk, "
+        f"de.src AS vertex FROM de CROSS JOIN (SELECT unnest(generate_series"
+        f"(0, {walks_per_vertex - 1})) AS w) t)",
+    ]
+
+    def _h(t: int) -> str:
+        return (
+            f"('0x' || substring(md5(w.start_id::VARCHAR || ':' || "
+            f"w.walk::VARCHAR || ':{t}'), 1, 8))::UINTEGER::BIGINT"
+        )
+
+    if length >= 1:
+        ctes.append(
+            f"w1 AS (SELECT w.start_id, w.walk, w.vertex AS prev, "
+            f"adj.dst AS vertex FROM w0 w JOIN degs ON degs.src = w.vertex "
+            f"JOIN adj ON adj.src = w.vertex "
+            f"AND adj.idx = ({_h(1)} % degs.deg))"
+        )
+    for t in range(2, length + 1):
+        ctes.append(
+            f"cand{t} AS (SELECT w.start_id, w.walk, w.prev, w.vertex, "
+            f"adj.dst AS cw, (CASE WHEN adj.dst = w.prev THEN {wr} "
+            f"WHEN nb.src IS NOT NULL THEN {scale} ELSE {wf} END)::BIGINT AS wt, "
+            f"{_h(t)} AS h FROM w{t-1} w JOIN adj ON adj.src = w.vertex "
+            f"LEFT JOIN de nb ON nb.src = w.prev AND nb.dst = adj.dst)"
+        )
+        ctes.append(
+            f"sel{t} AS (SELECT *, sum(wt) OVER (PARTITION BY start_id, walk "
+            f"ORDER BY cw) AS cum, sum(wt) OVER (PARTITION BY start_id, walk) "
+            f"AS tot FROM cand{t})"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT start_id, walk, vertex AS prev, cw AS vertex "
+            f"FROM sel{t} WHERE (h % tot) < cum AND (h % tot) >= cum - wt)"
+        )
+    selects = ["SELECT start_id, walk, 0 AS step, vertex FROM w0"] + [
+        f"SELECT start_id, walk, {t} AS step, vertex FROM w{t}"
+        for t in range(1, length + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _anf_chain_ctes(h: int, m: int) -> list[str]:
@@ -1502,6 +1580,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.id AS id, round(0.15 + 0.85 * coalesce(s.s, 0), 6) AS rank
             FROM v LEFT JOIN s ON s.id = v.id
         """,
+        "degree_histogram": f"""
+            WITH {_EDGE_CTE}, {_VERT_CTE}, {_DEG_CTE}
+            SELECT length(bin(d))::BIGINT AS bucket,
+                   count(*) AS n_vertices,
+                   min(d) AS min_degree, max(d) AS max_degree
+            FROM deg GROUP BY length(bin(d))
+        """,
         "pagerank_fixed10": _pagerank_chain_sql(10),
         "pagerank_fixed10_shuffle": _pagerank_chain_sql(10),
         "cc_round1": f"""
@@ -1513,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_converged": _CC_REACH_SQL,
         "scc_converged": _SCC_MUTUAL_SQL,
         "random_walks_l5": _walks_chain_sql(5, 2),
+        "node2vec_l4": _node2vec_chain_sql(4, 1, 5000, 20000, 10000),
         "anf_sketch_h3": _anf_chain_sql(3, 16),
         "harmonic_h3": _harmonic_chain_sql(3, 16),
         "betweenness_h3": _betweenness_chain_sql(3),

@@ -10,7 +10,7 @@ from duwamish_spark.algorithms.recommend import recommendations
 from duwamish_spark.algorithms.hits import hits
 from duwamish_spark.algorithms.kcore import k_core
 from duwamish_spark.algorithms.scc import strongly_connected_components
-from duwamish_spark.algorithms.walks import random_walks
+from duwamish_spark.algorithms.walks import node2vec_walks, random_walks
 from duwamish_spark.algorithms.anf import (
     anf_sketches,
     effective_diameter,
@@ -36,6 +36,7 @@ __all__ = [
     "hits",
     "k_core",
     "strongly_connected_components",
+    "node2vec_walks",
     "random_walks",
     "anf_sketches",
     "harmonic_centrality",

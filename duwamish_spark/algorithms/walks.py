@@ -137,3 +137,166 @@ def random_walks(
     for tmp in frames + [adj, degs]:
         free_local_checkpoint(tmp)
     return result
+
+
+N2V_SCALE = 10_000  # fixed-point scale for the p/q bias weights
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    walk_length: int = 10,
+    walks_per_vertex: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    starts: DataFrame | None = None,
+    num_partitions: int | None = None,
+    partitioner=None,
+) -> DataFrame:
+    """(start_id, walk, step, vertex) — deterministic second-order biased
+    walks (node2vec, Grover & Leskovec 2016).
+
+    From current vertex v with previous vertex u, candidate w ∈ N(v) is
+    weighted 1/p if w == u (return), 1 if the directed edge u→w exists
+    (stay close), 1/q otherwise (explore). Weights are FIXED-POINT
+    integers (round(N2V_SCALE/p) etc., computed once driver-side), the
+    candidate list is ordered by dst, and the pick is
+
+        H(start, walk, t)  mod  Σ weights
+
+    resolved against the integer cumulative-weight ladder — all-integer,
+    so a DuckDB chained CTE replays every walk bit-for-bit (driver gate
+    ``node2vec_l4``). Step 1 has no previous vertex and is uniform (the
+    reference node2vec implementation does the same).
+
+    Physical plan: per step, one join state⋈adjacency (fan-out = the
+    current vertices' out-degrees — E-bounded when walking from every
+    vertex, exactly one message round's cost), one membership left-join
+    against the distinct edge set keyed on (prev, candidate), and one
+    per-walk window (groups = candidate lists, map-side WindowGroupLimit
+    economics). Dead ends terminate walks early, like random_walks.
+    """
+    if walk_length < 0:
+        raise ValueError("walk_length must be >= 0")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    require_columns(edges, ("src", "dst"), "edges")
+    w_return = int(round(N2V_SCALE / p))
+    w_far = int(round(N2V_SCALE / q))
+    if w_return < 1 or w_far < 1:
+        raise ValueError("p and q must be <= N2V_SCALE (weights round to 0)")
+
+    de = edges.select("src", "dst").distinct()
+    if num_partitions:
+        de = partition_by(de, num_partitions, "src", partitioner)
+    de = de.localCheckpoint(eager=True)
+    adj = de.select(
+        "src",
+        "dst",
+        (
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+        ).alias("idx"),
+    ).localCheckpoint(eager=True)
+    degs = (
+        adj.groupBy("src").agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+
+    if starts is None:
+        start0 = de.select(F.col("src").alias("start_id")).distinct()
+    else:
+        require_columns(starts, ("id",), "starts")
+        start0 = starts.select(F.col("id").alias("start_id"))
+    cur = start0.select(
+        "start_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("walk"),
+        F.col("start_id").alias("vertex"),
+    ).localCheckpoint(eager=True)
+
+    frames = [cur]
+    out = [cur.select("start_id", "walk", F.lit(0).alias("step"), "vertex")]
+    prev_col = None  # becomes "prev" after step 1
+    for t in range(1, walk_length + 1):
+        if prev_col is None:
+            # step 1: uniform (no previous vertex yet)
+            nxt = (
+                cur.join(degs, cur["vertex"] == degs["src"])
+                .select(
+                    "start_id",
+                    "walk",
+                    F.col("vertex").alias("prev"),
+                    (
+                        _step_hash(F.col("start_id"), F.col("walk"), t)
+                        % F.col("deg")
+                    ).alias("pick"),
+                )
+                .join(
+                    adj,
+                    (F.col("prev") == adj["src"]) & (F.col("pick") == adj["idx"]),
+                )
+                .select("start_id", "walk", "prev", F.col("dst").alias("vertex"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            cand = (
+                cur.join(adj, cur["vertex"] == adj["src"])
+                .select(
+                    "start_id", "walk", "prev", "vertex",
+                    adj["dst"].alias("cw"),
+                )
+                .join(
+                    de.select(
+                        F.col("src").alias("prev"),
+                        F.col("dst").alias("cw"),
+                        F.lit(1).alias("_nb"),
+                    ),
+                    ["prev", "cw"],
+                    "left",
+                )
+                .withColumn(
+                    "wt",
+                    F.when(F.col("cw") == F.col("prev"), F.lit(w_return))
+                    .when(F.col("_nb") == 1, F.lit(N2V_SCALE))
+                    .otherwise(F.lit(w_far))
+                    .cast("long"),
+                )
+            )
+            grp = Window.partitionBy("start_id", "walk")
+            cum = F.sum("wt").over(grp.orderBy("cw"))
+            tot = F.sum("wt").over(grp)
+            pick = _step_hash(F.col("start_id"), F.col("walk"), t) % tot
+            nxt = (
+                cand.withColumn("_cum", cum)
+                .withColumn("_pick", pick)
+                .where(
+                    (F.col("_pick") < F.col("_cum"))
+                    & (F.col("_pick") >= F.col("_cum") - F.col("wt"))
+                )
+                .select(
+                    "start_id", "walk",
+                    F.col("vertex").alias("prev"),
+                    F.col("cw").alias("vertex"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        prev_col = "prev"
+        cur = nxt
+        frames.append(cur)
+        out.append(
+            cur.select("start_id", "walk", F.lit(t).alias("step"), "vertex")
+        )
+        if cur.rdd.isEmpty():
+            break
+
+    result = out[0]
+    for part in out[1:]:
+        result = result.unionAll(part)
+    result = result.localCheckpoint(eager=True)
+    for tmp in frames + [adj, degs, de]:
+        free_local_checkpoint(tmp)
+    return result

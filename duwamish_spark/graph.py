@@ -50,6 +50,25 @@ def out_degrees(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_histogram(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Log2-bucketed out-degree distribution: (bucket, n_vertices,
+    min_degree, max_degree) with bucket = bit length of the out-degree
+    (degree 0 → bucket 1, bin(0) = "0" in both Spark and DuckDB).
+
+    The first thing run on a new 10^12-edge crawl: one groupBy over the
+    degree table, all integers — skew diagnosis (how heavy is the hub
+    tail) before choosing salt/partitioning knobs.
+    """
+    deg = out_degrees(vertices, edges)
+    return deg.groupBy(
+        F.length(F.bin("out_degree")).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("out_degree").alias("min_degree"),
+        F.max("out_degree").alias("max_degree"),
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected adjacency for CC/LP: both directions, no self-loops, distinct."""
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))

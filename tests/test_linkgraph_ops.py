@@ -691,12 +691,144 @@ def test_harmonic_centrality_tracks_exact_on_random_graph(spark):
     assert tot_got == pytest.approx(tot_exact, rel=0.3)
 
 
+def _storage_ids(spark):
+    return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+
 def test_harmonic_centrality_releases_sketch_storage(spark):
     from duwamish_spark.algorithms import harmonic_centrality
     from duwamish_spark.pregel import free_local_checkpoint
 
     _, e = _graph(spark)
+    before = _storage_ids(spark)
     out = harmonic_centrality(spark, e, 3, m=16)
     out.count()
     free_local_checkpoint(out)
-    assert not spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    # no NEW storage left behind (earlier tests in the shared session may
+    # legitimately hold their own checkpoints)
+    assert _storage_ids(spark) <= before
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks
+# ---------------------------------------------------------------------------
+
+
+def _n2v_python(edges, length, wpv, p, q, scale=10_000):
+    import hashlib
+
+    wr, wf = round(scale / p), round(scale / q)
+    de = sorted({(s, d) for s, d in edges})
+    adj = {}
+    for s, d in de:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s] = sorted(set(adj[s]))
+    eset = set(de)
+
+    def H(start, w, t):
+        return int(
+            hashlib.md5(f"{start}:{w}:{t}".encode()).hexdigest()[:8], 16
+        )
+
+    rows = set()
+    for s0 in sorted({s for s, _ in de}):
+        for w in range(wpv):
+            cur, prev = s0, None
+            rows.add((s0, w, 0, cur))
+            for t in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if prev is None:
+                    nxt = nbrs[H(s0, w, t) % len(nbrs)]
+                else:
+                    wts = [
+                        wr if c == prev
+                        else (scale if (prev, c) in eset else wf)
+                        for c in nbrs
+                    ]
+                    pick = H(s0, w, t) % sum(wts)
+                    cum = 0
+                    for c, wt in zip(nbrs, wts):
+                        cum += wt
+                        if pick < cum:
+                            nxt = c
+                            break
+                prev, cur = cur, nxt
+                rows.add((s0, w, t, cur))
+    return rows
+
+
+@pytest.mark.parametrize("p,q", [(1.0, 1.0), (2.0, 0.5), (0.25, 4.0)])
+def test_node2vec_matches_python_replay(spark, p, q):
+    from duwamish_spark.algorithms import node2vec_walks
+
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    _, e = _graph(spark)
+    res = node2vec_walks(
+        spark, e, walk_length=5, walks_per_vertex=2, p=p, q=q
+    )
+    got = {
+        (r["start_id"], r["walk"], r["step"], r["vertex"])
+        for r in res.collect()
+    }
+    free_local_checkpoint(res)
+    assert got == _n2v_python(EDGES, 5, 2, p, q)
+
+
+def test_node2vec_random_graph_replay(spark):
+    from duwamish_spark.algorithms import node2vec_walks
+
+    rng = np.random.default_rng(9)
+    edges = [
+        (f"v{a:02d}", f"v{b:02d}")
+        for a, b in rng.integers(0, 30, size=(100, 2)).tolist()
+    ]
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    _, e = _graph(spark, edges)
+    res = node2vec_walks(
+        spark, e, walk_length=4, walks_per_vertex=1, p=4.0, q=0.25
+    )
+    got = {
+        (r["start_id"], r["walk"], r["step"], r["vertex"])
+        for r in res.collect()
+    }
+    free_local_checkpoint(res)
+    assert got == _n2v_python(edges, 4, 1, 4.0, 0.25)
+
+
+def test_node2vec_partitioning_invariant(spark):
+    from duwamish_spark.algorithms import node2vec_walks
+
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    _, e = _graph(spark)
+    a = node2vec_walks(spark, e, walk_length=3, p=0.5, q=2.0)
+    b = node2vec_walks(
+        spark, e, walk_length=3, p=0.5, q=2.0, num_partitions=7
+    )
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    free_local_checkpoint(a)
+    free_local_checkpoint(b)
+    assert ra == rb
+
+
+def test_node2vec_releases_storage_and_rejects_bad_args(spark):
+    from duwamish_spark.algorithms import node2vec_walks
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    _, e = _graph(spark)
+    before = _storage_ids(spark)
+    out = node2vec_walks(spark, e, walk_length=2)
+    out.count()
+    free_local_checkpoint(out)
+    assert _storage_ids(spark) <= before
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, e, p=0.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, e, q=-1.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, e, p=1e9)

@@ -196,6 +196,7 @@ def test_ktruss_random_graph(spark):
 
 def test_ktruss_metrics_monotone_and_storage_released(spark):
     sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
     res = k_truss(spark, _edges_df(spark), 4)
     sizes = [m["edges"] for m in res.metrics]
     assert sizes == sorted(sizes, reverse=True)
@@ -203,7 +204,7 @@ def test_ktruss_metrics_monotone_and_storage_released(spark):
     from duwamish_spark.pregel import free_local_checkpoint
 
     free_local_checkpoint(res.state)
-    assert not sc._jsc.sc().getRDDStorageInfo()
+    assert not {i.id() for i in sc._jsc.sc().getRDDStorageInfo()} - before
 
 
 def test_ktruss_rejects_bad_k(spark):
