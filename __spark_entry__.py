@@ -202,6 +202,18 @@ def q_kcore_converged(spark, sf_dir):
     return res.state.select("id", "degree")
 
 
+def q_coreness_round3(spark, sf_dir):
+    """Distributed coreness (full k-core decomposition) by h-index
+    iteration (Montresor 2011), fixed 3 rounds — a valid per-vertex
+    upper bound at any SF (estimates are monotone non-increasing and
+    start at degree); exact convergence is pytest-gated against the
+    sequential peel (algorithms/coreness.py)."""
+    from duwamish_spark.algorithms import coreness
+
+    v, e = _graph(spark, sf_dir)
+    return coreness(spark, v, e, max_rounds=3).state
+
+
 def q_random_walks_l5(spark, sf_dir):
     """Deterministic uniform random walks (length 5, 2 per vertex) over
     the directed edge table — hash-driven step choice, replayed exactly
@@ -762,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_fixed5": q_pagerank_weighted_fixed5,
         "hits_round3": q_hits_round3,
         "kcore_converged": q_kcore_converged,
+        "coreness_round3": q_coreness_round3,
         "scc_converged": q_scc_converged,
         "random_walks_l5": q_random_walks_l5,
         "node2vec_l4": q_node2vec_l4,
@@ -973,6 +986,35 @@ _TRI_CTE = (
     "FROM c e1 JOIN c e2 ON e1.dst = e2.src "
     "JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
 )
+
+
+def _coreness_chain_sql(rounds: int) -> str:
+    """h-index iteration replay: est0 = simple degree; each round ranks
+    every neighborhood's estimates (cv DESC, neighbor ASC) and takes
+    max(least(rank, value)) — all integers."""
+    ctes = [
+        _EDGE_CTE,
+        _VERT_CTE,
+        _CANON_CTE,
+        _SADJ_CTE,
+        "est0 AS (SELECT u AS id, count(*)::BIGINT AS c FROM sadj GROUP BY u)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"r{t} AS (SELECT sadj.u AS nid, sadj.w2 AS nv, est.c AS cv, "
+            f"row_number() OVER (PARTITION BY sadj.u "
+            f"ORDER BY est.c DESC, sadj.w2 ASC) AS rn "
+            f"FROM sadj JOIN est{t-1} est ON est.id = sadj.w2)"
+        )
+        ctes.append(
+            f"est{t} AS (SELECT nid AS id, max(least(rn, cv)) AS c "
+            f"FROM r{t} GROUP BY nid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v.id AS id, coalesce(e2.c, 0)::BIGINT AS coreness "
+        + f"FROM v LEFT JOIN est{rounds} e2 ON e2.id = v.id"
+    )
 
 
 def _local_clustering_sql() -> str:
@@ -1629,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.id AS id, coalesce(cnt.t, 0) AS triangles
             FROM v LEFT JOIN cnt ON cnt.id = v.id
         """,
+        "coreness_round3": _coreness_chain_sql(3),
         "local_clustering": _local_clustering_sql(),
         "link_pred_top5": _link_pred_sql(5, 2, 1_000_000),
         "ktruss_round2": _ktruss_fixed_sql(KTRUSS_K, KTRUSS_ROUNDS),

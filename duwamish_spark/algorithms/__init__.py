@@ -19,6 +19,7 @@ from duwamish_spark.algorithms.anf import (
     neighborhood_function,
 )
 from duwamish_spark.algorithms.betweenness import betweenness_sampled
+from duwamish_spark.algorithms.coreness import coreness
 from duwamish_spark.algorithms.structure import (
     clustering_coefficient,
     k_truss,
@@ -29,6 +30,7 @@ from duwamish_spark.algorithms.structure import (
 __all__ = [
     "betweenness_sampled",
     "clustering_coefficient",
+    "coreness",
     "link_prediction",
     "k_truss",
     "modularity",

@@ -252,3 +252,94 @@ def test_modularity_perfect_split_is_positive(spark):
     ldf = spark.createDataFrame(list(labels.items()), "id long, label long")
     got = modularity(e, ldf).collect()[0]["modularity"]
     assert got == _brute_modularity(edges, labels) == 0.5
+
+
+# ---------------------------------------------------------------------------
+# coreness (full k-core decomposition, h-index fixpoint)
+# ---------------------------------------------------------------------------
+
+
+def _brute_coreness_exact(edges):
+    """Textbook peel: repeatedly remove min-degree vertex; core number =
+    running max of the minimum degree at removal time."""
+    nb = {v: set(ns) for v, ns in _nbrs(_simple(edges)).items()}
+    core = {}
+    k = 0
+    deg = {v: len(ns) for v, ns in nb.items()}
+    while deg:
+        v = min(deg, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        for u in nb[v]:
+            nb[u].discard(v)
+            deg[u] -= 1
+        del deg[v], nb[v]
+    return core
+
+
+def test_coreness_matches_peel(spark):
+    from duwamish_spark.algorithms import coreness
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    e = _edges_df(spark)
+    v = e.selectExpr("src AS id").union(e.selectExpr("dst AS id")).distinct()
+    res = coreness(spark, v, e)
+    got = {r["id"]: r["coreness"] for r in res.state.collect()}
+    free_local_checkpoint(res.state)
+    assert res.halted
+    assert got == _brute_coreness_exact(EDGES)
+
+
+def test_coreness_random_graphs_match_peel(spark):
+    from duwamish_spark.algorithms import coreness
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    for seed, n, m in [(2, 25, 120), (8, 40, 260)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        e = _edges_df(spark, edges)
+        v = e.selectExpr("src AS id").union(e.selectExpr("dst AS id")).distinct()
+        res = coreness(spark, v, e)
+        got = {r["id"]: r["coreness"] for r in res.state.collect()}
+        free_local_checkpoint(res.state)
+        want = _brute_coreness_exact(edges)
+        # vertices with only self-loops appear in v with coreness 0
+        for vid, c in got.items():
+            assert c == want.get(vid, 0), (seed, vid)
+        assert res.halted
+
+
+def test_coreness_estimates_are_upper_bounds_each_round(spark):
+    from duwamish_spark.algorithms import coreness
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    e = _edges_df(spark)
+    v = e.selectExpr("src AS id").union(e.selectExpr("dst AS id")).distinct()
+    want = _brute_coreness_exact(EDGES)
+    for rounds in (1, 2):
+        res = coreness(spark, v, e, max_rounds=rounds)
+        got = {r["id"]: r["coreness"] for r in res.state.collect()}
+        free_local_checkpoint(res.state)
+        for vid, c in got.items():
+            assert c >= want.get(vid, 0), (rounds, vid)
+    # monotone non-increasing sum across rounds
+    res = coreness(spark, v, e)
+    sums = [m["coreness_sum"] for m in res.metrics]
+    free_local_checkpoint(res.state)
+    assert sums == sorted(sums, reverse=True)
+
+
+def test_coreness_clique_plus_tail(spark):
+    from duwamish_spark.algorithms import coreness
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    # 5-clique (coreness 4) with a path tail (coreness 1)
+    edges = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges += [(4, 10), (10, 11), (11, 12)]
+    e = _edges_df(spark, edges)
+    v = e.selectExpr("src AS id").union(e.selectExpr("dst AS id")).distinct()
+    res = coreness(spark, v, e)
+    got = {r["id"]: r["coreness"] for r in res.state.collect()}
+    free_local_checkpoint(res.state)
+    assert all(got[x] == 4 for x in range(5))
+    assert got[10] == got[11] == got[12] == 1
