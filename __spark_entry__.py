@@ -271,6 +271,52 @@ def q_harmonic_h3(spark, sf_dir):
     return harmonic_centrality(spark, e, 3, m=16)
 
 
+def q_closeness_h3(spark, sf_dir):
+    """Hop-bounded closeness centrality from the same HyperANF sketches
+    (h=3, m=16): C(v) = (|ball(3)|-|ball(0)|) / Σ t·(|ball(t)|-|ball(t-1)|)
+    — reachable count over total distance, 0.0 for sinks by the
+    exact-zero denominator guard; the oracle replays the sketch chain,
+    the estimator, and the guarded division in the same fixed order
+    (algorithms/anf.py closeness_centrality)."""
+    from duwamish_spark.algorithms import closeness_centrality
+
+    e = _edges(spark, sf_dir)
+    return closeness_centrality(spark, e, 3, m=16)
+
+
+def q_boruvka_round1(spark, sf_dir):
+    """Round 1 of Borůvka MSF: every vertex picks its minimum incident
+    undirected edge under the total order (w, u, v), weight =
+    −multiplicity — the exactly-SQL-replayable unit of the minimum
+    spanning forest (algorithms/msf.py; full convergence is
+    pytest-gated against Kruskal)."""
+    from duwamish_spark.algorithms import (
+        boruvka_min_edges,
+        weighted_canonical_edges,
+    )
+
+    w = weighted_canonical_edges(_edges(spark, sf_dir))
+    return boruvka_min_edges(w)
+
+
+def q_reciprocity(spark, sf_dir):
+    """Edge reciprocity of the directed simple graph — distinct arcs
+    with reverse present / total distinct arcs; single final division
+    (algorithms/structure.py reciprocity)."""
+    from duwamish_spark.algorithms import reciprocity
+
+    return reciprocity(_edges(spark, sf_dir))
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Out-in degree assortativity (Newman Pearson r over distinct
+    arcs): six exact BIGINT moments + one fixed-order float formula
+    (algorithms/structure.py degree_assortativity)."""
+    from duwamish_spark.algorithms import degree_assortativity
+
+    return degree_assortativity(_edges(spark, sf_dir))
+
+
 def q_scc_converged(spark, sf_dir):
     """Strongly connected components of the DIRECTED edge table
     (trim + forward-min coloring + backward confinement, algorithms/scc.py)
@@ -578,6 +624,59 @@ def q_bpe_token_stats(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir))
 
 
+def q_tfidf_top3(spark, sf_dir):
+    """Top-3 TF-IDF whitespace terms per document: exact integer tf/df/N,
+    one ln per row, window top-k with map-side WindowGroupLimit prune —
+    rank order (unrounded tfidf DESC, tok ASC) is total, so the window
+    is exactly SQL-replayable (functions/text.py tfidf_top_terms)."""
+    from duwamish_spark.functions import tfidf_top_terms
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return tfidf_top_terms(docs, 3)
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination audit: training docs (doc_id % 20
+    != 0) sharing >= 1 3-token shingle with the benchmark slice (doc_id
+    % 20 == 0); benchmark shingles broadcast, corpus streams through one
+    map-side join (functions/dedup.py benchmark_contamination)."""
+    from duwamish_spark.functions import benchmark_contamination
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return benchmark_contamination(train, bench, k=3)
+
+
+def q_doc_split(spark, sf_dir):
+    """Content-keyed 98/1/1 train/validation/test split of the documents
+    table: assignment = integer threshold compare on u32(md5('split:' ||
+    doc_id)) — reproducible across runs/partitionings/engines, checked
+    row-by-row (functions/sampling.py hash_split)."""
+    from duwamish_spark.functions.sampling import hash_split
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language training-mix sampling (en 80%, de/fr
+    50%, es 25%, others 10%): keep iff u32(md5('sample:' || doc_id)) <
+    floor(fraction·2^32) — pure filter, row-level reproducible
+    (functions/sampling.py stratified_sample)."""
+    from duwamish_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.25},
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_doc_quality(spark, sf_dir):
     from duwamish_spark.functions import doc_quality
 
@@ -780,6 +879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_l4": q_node2vec_l4,
         "anf_sketch_h3": q_anf_sketch_h3,
         "harmonic_h3": q_harmonic_h3,
+        "closeness_h3": q_closeness_h3,
+        "reciprocity": q_reciprocity,
+        "degree_assortativity": q_degree_assortativity,
+        "boruvka_round1": q_boruvka_round1,
         "betweenness_h3": q_betweenness_h3,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
@@ -807,6 +910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": q_rolling_fingerprints,
         "bpe_token_stats": q_bpe_token_stats,
         "doc_quality": q_doc_quality,
+        "tfidf_top3": q_tfidf_top3,
+        "doc_split": q_doc_split,
+        "stratified_sample": q_stratified_sample,
+        "contamination": q_contamination,
         "lang_pred": q_lang_pred,
         "embedding_centroids": q_embedding_centroids,
         "knn_cosine": q_knn_cosine,
@@ -1300,6 +1407,72 @@ def _betweenness_chain_sql(h: int) -> str:
     )
 
 
+def _closeness_chain_sql(h: int, m: int) -> str:
+    """ANF sketch chain + HLL estimator per hop + the guarded
+    reachable-over-distance division — float ops in the same fixed order
+    as anf.closeness_centrality (numerator first, denominator terms t
+    ascending, one division, round 6; exact-zero denominator → 0.0)."""
+    from duwamish_spark.algorithms.anf import _alpha
+
+    am2 = repr(_alpha(m) * m * m)
+    thresh = repr(2.5 * m)
+    fm = repr(float(m))
+    ctes = _anf_chain_ctes(h, m)
+    for t in range(0, h + 1):
+        ctes.append(
+            f"r{t} AS (SELECT id, {m} - count(*) AS zeros, "
+            f"{am2}::DOUBLE / (({m} - count(*)) + sum(power(2.0, -val))) AS raw "
+            f"FROM s{t} GROUP BY id)"
+        )
+        ctes.append(
+            f"est{t} AS (SELECT id, CASE WHEN raw <= {thresh}::DOUBLE "
+            f"AND zeros > 0 THEN {fm}::DOUBLE * ln({fm}::DOUBLE / zeros) "
+            f"ELSE raw END AS est FROM r{t})"
+        )
+    num = f"(est{h}.est - est0.est)"
+    den = " + ".join(
+        f"{repr(float(t))}::DOUBLE * (est{t}.est - est{t-1}.est)"
+        for t in range(1, h + 1)
+    )
+    joins = " ".join(f"JOIN est{t} ON est{t}.id = est0.id" for t in range(1, h + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT est0.id AS id, CASE WHEN ({den}) = 0.0 THEN 0.0 "
+        + f"ELSE round({num} / ({den}), 6) END AS closeness "
+        + f"FROM est0 {joins}"
+    )
+
+
+def _doc_split_sql() -> str:
+    """Replays hash_split's integer-threshold assignment; bounds come
+    from the SAME split_thresholds() the engine uses."""
+    from duwamish_spark.functions.sampling import split_thresholds
+
+    bounds = split_thresholds({"train": 0.98, "validation": 0.01, "test": 0.01})
+    case = "CASE"
+    for name, ub in bounds[:-1]:
+        case += f" WHEN u < {ub} THEN '{name}'"
+    case += f" ELSE '{bounds[-1][0]}' END"
+    return (
+        "WITH h AS (SELECT doc_id, ('0x' || substring(md5('split:' || "
+        "doc_id::VARCHAR), 1, 8))::UINTEGER::BIGINT AS u FROM documents) "
+        f"SELECT doc_id, {case} AS split FROM h"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    fr = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.25}
+    case = "CASE"
+    for lang in sorted(fr):
+        case += f" WHEN lang = '{lang}' THEN {int(fr[lang] * (1 << 32))}"
+    case += f" ELSE {int(0.1 * (1 << 32))} END"
+    return (
+        "WITH h AS (SELECT doc_id, lang, ('0x' || substring(md5('sample:' || "
+        "doc_id::VARCHAR), 1, 8))::UINTEGER::BIGINT AS u FROM documents) "
+        f"SELECT doc_id, lang FROM h WHERE u < {case}"
+    )
+
+
 def _harmonic_chain_sql(h: int, m: int) -> str:
     """ANF sketch chain + the HLL estimator per hop + the fixed
     left-associative harmonic sum — every float op in the same order as
@@ -1643,6 +1816,46 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_l4": _node2vec_chain_sql(4, 1, 5000, 20000, 10000),
         "anf_sketch_h3": _anf_chain_sql(3, 16),
         "harmonic_h3": _harmonic_chain_sql(3, 16),
+        "closeness_h3": _closeness_chain_sql(3, 16),
+        "reciprocity": (
+            f"WITH {_EDGE_CTE}, "
+            "de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst), "
+            "t AS (SELECT count(*)::BIGINT AS total_edges FROM de), "
+            "r AS (SELECT count(*)::BIGINT AS reciprocal_edges FROM de a "
+            "JOIN de b ON b.src = a.dst AND b.dst = a.src) "
+            "SELECT t.total_edges, r.reciprocal_edges, "
+            "CASE WHEN t.total_edges = 0 THEN 0.0 ELSE "
+            "round(r.reciprocal_edges::DOUBLE / t.total_edges::DOUBLE, 6) END "
+            "AS reciprocity FROM t, r"
+        ),
+        "boruvka_round1": (
+            f"WITH {_EDGE_CTE}, "
+            "pw AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v, "
+            "(-count(*))::BIGINT AS w FROM e WHERE src <> dst GROUP BY 1, 2), "
+            "inc AS (SELECT u AS c, u, v, w FROM pw "
+            "UNION ALL SELECT v AS c, u, v, w FROM pw), "
+            "sel AS (SELECT c, u, v, w, row_number() OVER "
+            "(PARTITION BY c ORDER BY w, u, v) AS rn FROM inc) "
+            "SELECT DISTINCT u, v, w FROM sel WHERE rn = 1"
+        ),
+        "degree_assortativity": (
+            f"WITH {_EDGE_CTE}, "
+            "de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst), "
+            "od AS (SELECT src, count(*)::BIGINT AS x FROM de GROUP BY src), "
+            "idg AS (SELECT dst, count(*)::BIGINT AS y FROM de GROUP BY dst), "
+            "j AS (SELECT od.x AS x, idg.y AS y FROM de "
+            "JOIN od ON od.src = de.src JOIN idg ON idg.dst = de.dst), "
+            "agg AS (SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx, "
+            "sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy, "
+            "sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy FROM j) "
+            "SELECT m, sx, sy, sxy, sxx, syy, "
+            "CASE WHEN (m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <= 0.0 "
+            "OR (m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) <= 0.0 THEN 0.0 "
+            "ELSE round((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / "
+            "(sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * "
+            "sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) END "
+            "AS assortativity FROM agg"
+        ),
         "betweenness_h3": _betweenness_chain_sql(3),
         "cc_converged_shuffle": _CC_REACH_SQL,
         "cc_auto_algorithm": _CC_REACH_SQL,
@@ -1693,6 +1906,48 @@ def oracle_sql() -> dict[str, str]:
             WITH {tok_cte}
             SELECT doc_id, count(*) AS n_tokens, round(avg(length(tok)), 6) AS avg_token_len
             FROM t GROUP BY doc_id
+        """,
+        "doc_split": _doc_split_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "contamination": r"""
+            WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                       FROM documents WHERE length(trim(text)) > 0),
+            idx AS (SELECT doc_id, arr,
+                           unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
+                    FROM d),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(arr[i:i+2], ' ') AS shingle
+                   FROM idx
+                   WHERE length(array_to_string(arr[i:i+2], ' ')) > 0),
+            tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+            bm AS (SELECT doc_id AS bid, shingle FROM sh WHERE doc_id % 20 = 0),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM tr GROUP BY doc_id),
+            hits AS (SELECT tr.doc_id, tr.shingle, bm.bid FROM tr JOIN bm ON bm.shingle = tr.shingle),
+            agg AS (SELECT doc_id,
+                           count(DISTINCT shingle)::BIGINT AS n_shared_shingles,
+                           count(DISTINCT bid)::BIGINT AS n_benchmark_hits
+                    FROM hits GROUP BY doc_id)
+            SELECT agg.doc_id, sizes.n_shingles, agg.n_shared_shingles,
+                   agg.n_benchmark_hits,
+                   round(agg.n_shared_shingles::DOUBLE / sizes.n_shingles::DOUBLE, 6)
+                       AS share_ratio
+            FROM agg JOIN sizes ON sizes.doc_id = agg.doc_id
+            WHERE agg.n_shared_shingles >= 1
+        """,
+        "tfidf_top3": f"""
+            WITH {tok_cte},
+            tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+                   FROM t GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+            nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            s AS (SELECT tf.doc_id, tf.tok, tf.tf,
+                         tf.tf::DOUBLE * ln(nd.n_docs::DOUBLE / df.df::DOUBLE) AS tfidf,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                             ORDER BY tf.tf::DOUBLE * ln(nd.n_docs::DOUBLE / df.df::DOUBLE) DESC,
+                                      tf.tok) AS rnk
+                  FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN nd)
+            SELECT doc_id, tok, tf, round(tfidf, 6) AS tfidf, rnk::INT AS rnk
+            FROM s WHERE rnk <= 3
         """,
         "stopword_ratio": f"""
             WITH {tok_cte}

@@ -13,24 +13,37 @@ from duwamish_spark.algorithms.scc import strongly_connected_components
 from duwamish_spark.algorithms.walks import node2vec_walks, random_walks
 from duwamish_spark.algorithms.anf import (
     anf_sketches,
+    closeness_centrality,
     effective_diameter,
     harmonic_centrality,
     hll_estimates,
     neighborhood_function,
 )
 from duwamish_spark.algorithms.betweenness import betweenness_sampled
+from duwamish_spark.algorithms.msf import (
+    boruvka_min_edges,
+    minimum_spanning_forest,
+    weighted_canonical_edges,
+)
 from duwamish_spark.algorithms.coreness import coreness
 from duwamish_spark.algorithms.structure import (
     clustering_coefficient,
+    degree_assortativity,
     k_truss,
     link_prediction,
     modularity,
+    reciprocity,
 )
 
 __all__ = [
     "betweenness_sampled",
     "clustering_coefficient",
     "coreness",
+    "degree_assortativity",
+    "reciprocity",
+    "boruvka_min_edges",
+    "minimum_spanning_forest",
+    "weighted_canonical_edges",
     "link_prediction",
     "k_truss",
     "modularity",
@@ -41,6 +54,7 @@ __all__ = [
     "node2vec_walks",
     "random_walks",
     "anf_sketches",
+    "closeness_centrality",
     "harmonic_centrality",
     "neighborhood_function",
     "hll_estimates",

@@ -221,30 +221,24 @@ def neighborhood_function(
     return counts[: h + 1], res
 
 
-def harmonic_centrality(
+def _hop_ball_profile(
     spark: SparkSession,
     edges: DataFrame,
     h: int,
     *,
-    m: int = 64,
-    num_partitions: int | None = None,
-    partitioner=None,
-) -> DataFrame:
-    """Per-vertex harmonic centrality estimate from the HyperANF
-    sketches: (id, harmonic) with
-
-        H(v) = Σ_{t=1..h} (|ball(v,t)| - |ball(v,t-1)|) / t
-
-    — the Boldi-Vigna application of ANF (distances measured along
-    OUT-edges here; pass reversed edges for the usual in-distance
-    convention). |ball| estimates come from :func:`hll_estimates`, so
-    the whole computation is deterministic given the integer sketches:
+    m: int,
+    num_partitions: int | None,
+    partitioner,
+):
+    """Wide per-vertex hop profile (id, e0..eh) of HLL ball-size
+    estimates, plus a cleanup thunk that frees the per-round sketch
+    storage.  Shared scaffolding for the centrality estimators below:
     per-round estimates are materialized as V-row localCheckpoints
-    (small — one double per vertex per hop), then combined in ONE fixed
-    left-associative expression (t ascending), which makes the float
-    result bit-reproducible and exactly SQL-replayable. Rounds cut
-    short by the sketch fixpoint contribute zero terms by construction
-    (the ball stopped growing), matching the padding here.
+    (small — one double per vertex per hop), then joined into ONE wide
+    row per vertex so each estimator combines them in a fixed
+    left-associative expression (bit-reproducible, SQL-replayable).
+    Rounds cut short by the sketch fixpoint reuse the previous column
+    (no join) — the ball stopped growing, so the padding is exact.
     """
     ests: list[DataFrame] = []
 
@@ -279,6 +273,44 @@ def harmonic_centrality(
             cur = cur.join(
                 ests[t].select("id", F.col("est").alias(f"e{t}")), "id"
             )
+
+    def _cleanup() -> None:
+        freed: set[int] = set()
+        for e in ests[1 : h + 1]:
+            if id(e) not in freed:
+                freed.add(id(e))
+                free_local_checkpoint(e)
+        free_local_checkpoint(res.state)
+
+    return cur, _cleanup
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    h: int,
+    *,
+    m: int = 64,
+    num_partitions: int | None = None,
+    partitioner=None,
+) -> DataFrame:
+    """Per-vertex harmonic centrality estimate from the HyperANF
+    sketches: (id, harmonic) with
+
+        H(v) = Σ_{t=1..h} (|ball(v,t)| - |ball(v,t-1)|) / t
+
+    — the Boldi-Vigna application of ANF (distances measured along
+    OUT-edges here; pass reversed edges for the usual in-distance
+    convention). |ball| estimates come from :func:`hll_estimates`, so
+    the whole computation is deterministic given the integer sketches;
+    the term sum is ONE fixed left-associative expression (t ascending),
+    which makes the float result bit-reproducible and exactly
+    SQL-replayable.
+    """
+    cur, cleanup = _hop_ball_profile(
+        spark, edges, h, m=m, num_partitions=num_partitions,
+        partitioner=partitioner,
+    )
     expr = None
     for t in range(1, h + 1):
         term = (F.col(f"e{t}") - F.col(f"e{t-1}")) / F.lit(float(t))
@@ -292,12 +324,52 @@ def harmonic_centrality(
     out = cur.select("id", F.round(expr, 6).alias("harmonic")).localCheckpoint(
         eager=True
     )
-    freed: set[int] = set()
-    for e in ests[1 : h + 1]:
-        if id(e) not in freed:
-            freed.add(id(e))
-            free_local_checkpoint(e)
-    free_local_checkpoint(res.state)
+    cleanup()
+    return out
+
+
+def closeness_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    h: int,
+    *,
+    m: int = 64,
+    num_partitions: int | None = None,
+    partitioner=None,
+) -> DataFrame:
+    """Per-vertex hop-bounded closeness centrality estimate from the
+    same HyperANF sketches: (id, closeness) with
+
+        C_h(v) = (|ball(v,h)| - |ball(v,0)|)
+                 / Σ_{t=1..h} t · (|ball(v,t)| - |ball(v,t-1)|)
+
+    — reachable-count over total distance within h hops (Wasserman-Faust
+    numerator restricted to the h-ball; Boldi-Vigna estimate the same
+    quantity from HyperANF counters). Vertices whose ball never grows
+    (sinks with no out-neighbors) get closeness 0.0 by the exact-zero
+    denominator guard — the subtraction of identical doubles is exactly
+    0.0, so the guard is deterministic and replays in SQL. Same float-op
+    ordering discipline as :func:`harmonic_centrality` (numerator first,
+    denominator terms t ascending, one division, round 6).
+    """
+    cur, cleanup = _hop_ball_profile(
+        spark, edges, h, m=m, num_partitions=num_partitions,
+        partitioner=partitioner,
+    )
+    if h < 1:
+        out = cur.select("id", F.lit(0.0).alias("closeness")).localCheckpoint(
+            eager=True
+        )
+        cleanup()
+        return out
+    num = F.col(f"e{h}") - F.col("e0")
+    den = None
+    for t in range(1, h + 1):
+        term = F.lit(float(t)) * (F.col(f"e{t}") - F.col(f"e{t-1}"))
+        den = term if den is None else den + term
+    expr = F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(F.round(num / den, 6))
+    out = cur.select("id", expr.alias("closeness")).localCheckpoint(eager=True)
+    cleanup()
     return out
 
 

@@ -50,6 +50,93 @@ def _simple_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _distinct_directed(edges: DataFrame) -> DataFrame:
+    """Distinct directed simple edges (self-loops and duplicate arcs
+    dropped; direction preserved — unlike ``_simple_adjacency``)."""
+    require_columns(edges, ("src", "dst"), "edges")
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Edge reciprocity of the directed simple graph: one row
+    (total_edges, reciprocal_edges, reciprocity) where reciprocity =
+    |{(u,v) ∈ E : (v,u) ∈ E}| / |E| over distinct non-loop arcs —
+    Garlaschelli-Loffredo r, the standard first diagnostic on a link /
+    import graph (a codebase where A imports B and B imports A is a
+    cycle smell; on the web graph r gauges link-exchange density).
+
+    Plan: one distinct (E-bounded), one self-equi-join on (dst, src) —
+    shuffle-partitioned on the join key, no driver collect; the single
+    final division is the only float op, so the result is
+    DuckDB-replayable bit-for-bit under round(6).
+    """
+    de = _distinct_directed(edges)
+    rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    matched = de.join(rev, ["src", "dst"], "left_semi")
+    total = de.agg(F.count(F.lit(1)).alias("total_edges"))
+    recip = matched.agg(F.count(F.lit(1)).alias("reciprocal_edges"))
+    return total.crossJoin(recip).select(
+        "total_edges",
+        "reciprocal_edges",
+        F.when(F.col("total_edges") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("reciprocal_edges").cast("double")
+                / F.col("total_edges").cast("double"),
+                6,
+            )
+        )
+        .alias("reciprocity"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Out-in degree assortativity of the directed simple graph
+    (Newman 2002): the Pearson correlation, over distinct non-loop arcs
+    (u, v), of out-degree(u) against in-degree(v). One row:
+    (m, sx, sy, sxy, sxx, syy, assortativity).
+
+    All six moments are EXACT integer sums (order-independent, so the
+    shuffle/combine order can't perturb them — the aa_micro fixed-point
+    discipline); the Pearson formula then runs once on the six scalars
+    in a fixed operation order, making the double bit-reproducible and
+    SQL-replayable. Degenerate variance (regular graph) returns 0.0 via
+    an explicit guard rather than NaN.
+
+    Scale note: sums of degree products fit int64 while Σ x·y < 2^63 —
+    safe through ~10^12 edges with hub degrees ≤ ~10^5 after the
+    degree-ordered orientation; beyond that, pre-scale degrees or move
+    the moments to DOUBLE (order-dependent rounding, no longer exactly
+    oracle-able).
+    """
+    de = _distinct_directed(edges)
+    outd = de.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    ind = de.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    j = de.join(outd, "src").join(ind, "dst")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = md * F.col("sxy").cast("double") - sx * sy
+    vx = md * F.col("sxx").cast("double") - sx * sx
+    vy = md * F.col("syy").cast("double") - sy * sy
+    r = F.when((vx <= 0.0) | (vy <= 0.0), F.lit(0.0)).otherwise(
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6)
+    )
+    return agg.select("m", "sx", "sy", "sxy", "sxx", "syy", r.alias("assortativity"))
+
+
 def oriented_triangles(edges: DataFrame) -> DataFrame:
     """(a, b, c) — every distinct undirected triangle exactly once.
 

@@ -433,3 +433,62 @@ def ngram_jaccard_pairs(
         .where(j >= threshold)
         .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_common: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Train/eval contamination audit: for every training document
+    sharing at least ``min_common`` k-token shingles with ANY benchmark
+    document, report
+
+        (doc_id, n_shingles, n_shared_shingles, n_benchmark_hits,
+         share_ratio)
+
+    — the standard pre-training decontamination pass (the GPT-3 /
+    C4-style n-gram overlap filter): a training doc that reproduces
+    eval-set n-grams leaks the benchmark into the training mix.
+
+    Scale shape: the benchmark side is eval-sized (thousands of docs,
+    not billions), so its shingle relation is broadcast by default and
+    the training corpus streams through ONE map-side hash join keyed on
+    the 8-byte xxhash64 shingle — no all-pairs stage, no shuffle of the
+    corpus. The two count-distincts aggregate the (doc, shingle) /
+    (doc, benchmark-doc) hit relations, each bounded by the join output
+    (tiny: only contaminated rows survive). Set
+    ``broadcast_benchmark=False`` when the benchmark itself is
+    table-sized; the join then shuffles both sides on `sh`.
+    """
+    tr = shingles(docs, k, id_col, text_col)
+    bm = shingles(benchmark, k, id_col, text_col).select(
+        "sh", F.col("id").alias("bid")
+    )
+    if broadcast_benchmark:
+        bm = F.broadcast(bm)
+    sizes = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = tr.join(bm, "sh")
+    agg = hits.groupBy("id").agg(
+        F.countDistinct("sh").alias("n_shared_shingles"),
+        F.countDistinct("bid").alias("n_benchmark_hits"),
+    )
+    return (
+        agg.where(F.col("n_shared_shingles") >= min_common)
+        .join(sizes, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_shared_shingles",
+            "n_benchmark_hits",
+            F.round(
+                F.col("n_shared_shingles").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("share_ratio"),
+        )
+    )

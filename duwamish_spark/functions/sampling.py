@@ -1,0 +1,110 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines.
+
+At 100 TB the split/sample step CANNOT be `df.sample()` / `randomSplit`
+— those are seeded per-partition-index, so any repartition, AQE replan,
+or input reordering reassigns rows between train and test (silent
+contamination). The industry-standard fix is CONTENT-KEYED hashing:
+each row's assignment is a pure function of a stable key, so the split
+is reproducible across runs, engines, and cluster sizes, and survives
+incremental re-ingestion (a re-crawled document lands in the same
+bucket it was in last month).
+
+Both operators hash with the repo's cross-engine md5-u32 family
+(`u32(md5(salt || ':' || key))`, the same construction the ANF / walks
+oracles replay), and compare against PRE-COMPUTED integer thresholds —
+no floats anywhere, so DuckDB replays the assignment bit-for-bit and
+the driver gate checks every row, not a sample statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32_SPACE = 1 << 32
+
+
+def _u32_of(key: Column, salt: str) -> Column:
+    """uint32 from the first 8 hex chars of md5(salt || ':' || key) —
+    identical to DuckDB's ('0x' || substring(md5(...), 1, 8))::UINTEGER."""
+    s = F.concat(F.lit(salt + ":"), key.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bound in u32 space) per split, in the
+    given order; the last split absorbs rounding remainder so every row
+    is assigned. Weights must be positive and sum to ~1."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if any(w <= 0 for w in weights.values()) or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must be positive and sum to 1, got {weights}")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        out.append((name, int(cum * _U32_SPACE)))
+    out.append((names[-1], _U32_SPACE))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    *,
+    salt: str = "split",
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to a named split by
+    the content-keyed hash of ``key_col`` — default 98/1/1
+    train/validation/test. Pure projection: no shuffle, no action,
+    columnar whole-stage-codegen, and the assignment is independent of
+    partitioning/row order by construction."""
+    weights = weights or {"train": 0.98, "validation": 0.01, "test": 0.01}
+    u = _u32_of(F.col(key_col), salt)
+    expr = None
+    bounds = split_thresholds(weights)
+    for name, ub in reversed(bounds):
+        if expr is None:
+            expr = F.lit(name)  # last bucket: unconditional
+        else:
+            expr = F.when(u < F.lit(ub), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``u32(md5(salt:key)) < floor(fraction[stratum] · 2^32)``.
+
+    This is the training-mix knob (e.g. keep 100% of high-quality docs,
+    10% of mid, 1% of boilerplate): per-stratum keep rates with
+    row-level reproducibility. Strata not in ``fractions`` fall back to
+    ``default_fraction``. Pure filter — predicate-pushdown-friendly, no
+    shuffle; expected output size Σ_s |s|·f_s with binomial variance
+    (exact-quota sampling would need a per-stratum sort; at 10^12 rows
+    the hash threshold is the scalable standard).
+    """
+    for s, f_ in fractions.items():
+        if not 0.0 <= f_ <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0,1], got {f_}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    u = _u32_of(F.col(key_col), salt)
+    thresh = F.lit(int(default_fraction * _U32_SPACE))
+    for s in sorted(fractions):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(s),
+            F.lit(int(fractions[s] * _U32_SPACE)),
+        ).otherwise(thresh)
+    return df.where(u < thresh)

@@ -9,6 +9,7 @@ covers it.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and")
@@ -161,4 +162,51 @@ def lang_marker_scores(
     )
     return agg.select(
         id_col, F.array_min(best).getField("lang").alias("pred_lang")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (id, tok, tf, tfidf, rnk) with
+
+        tfidf = tf(doc, tok) · ln(N / df(tok))
+
+    over whitespace tokens — the standard keyword/feature-selection
+    signal a training-data pipeline derives per document (topic tags,
+    near-dup explanations, quality filters on keyword burstiness).
+
+    Plan shape at 100 TB: two linear groupBys (term frequency per doc,
+    document frequency per term) + one scalar N (agg, crossJoined — no
+    driver collect), then a per-doc window top-k that Spark executes
+    with the map-side WindowGroupLimit prune (rank pushed before the
+    shuffle), so the exchange carries at most k rows per document.
+    Determinism: tf/df/N are exact integers, the float tfidf is one
+    product of one ln per row in both engines, and rank order is
+    (unrounded tfidf DESC, tok ASC) — total, so the window is exactly
+    SQL-replayable; the emitted tfidf is round(·, 6).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "_tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "tok", "tf", F.round("_tfidf", 6).alias("tfidf"), "rnk")
     )

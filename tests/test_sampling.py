@@ -1,0 +1,175 @@
+"""hash_split / stratified_sample determinism and tfidf_top_terms
+vs brute-force oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from duwamish_spark.functions import (
+    hash_split,
+    split_thresholds,
+    stratified_sample,
+    tfidf_top_terms,
+)
+
+
+def _u32(salt: str, key) -> int:
+    return int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16)
+
+
+DOCS = [
+    (i, f"doc text {i} " + ("common " * (i % 4)) + f"rare{i % 7}", ["en", "de", "fr"][i % 3])
+    for i in range(120)
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_hash_split_matches_reference_hash(spark):
+    weights = {"train": 0.8, "validation": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(_docs_df(spark), "doc_id", weights).collect()
+    }
+    bounds = split_thresholds(weights)
+    for i, _, _ in DOCS:
+        u = _u32("split", i)
+        want = next(
+            (n for n, ub in bounds if u < ub), bounds[-1][0]
+        )
+        assert got[i] == want, f"doc {i}"
+
+
+def test_hash_split_stable_under_repartition(spark):
+    df = _docs_df(spark)
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7, "lang"), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = _docs_df(spark)
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 1.5, "b": -0.5})
+
+
+def test_stratified_sample_matches_reference_hash(spark):
+    fr = {"en": 0.9, "de": 0.3}
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(
+            _docs_df(spark), "doc_id", "lang", fr, default_fraction=0.05
+        ).collect()
+    }
+    want = set()
+    for i, _, lang in DOCS:
+        f = fr.get(lang, 0.05)
+        if _u32("sample", i) < int(f * (1 << 32)):
+            want.add(i)
+    assert got == want
+
+
+def test_stratified_sample_fraction_bounds(spark):
+    df = _docs_df(spark)
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "lang", {"en": 1.2})
+    # fraction 1.0 keeps every row of that stratum, 0.0 drops all
+    keep_all = stratified_sample(df, "doc_id", "lang", {"en": 1.0}, default_fraction=0.0)
+    langs = Counter(r["lang"] for r in keep_all.collect())
+    assert set(langs) == {"en"}
+    assert langs["en"] == sum(1 for _, _, l in DOCS if l == "en")
+
+
+def _brute_tfidf_top(docs, k):
+    tf = defaultdict(Counter)
+    for i, text, _ in docs:
+        for t in text.split():
+            tf[i][t] += 1
+    dfreq = Counter()
+    for i in tf:
+        for t in tf[i]:
+            dfreq[t] += 1
+    n = len(docs)
+    out = {}
+    for i in tf:
+        scored = sorted(
+            ((-c * math.log(n / dfreq[t]), t, c) for t, c in tf[i].items())
+        )[:k]
+        out[i] = [(t, c, round(-s, 6)) for s, t, c in scored]
+    return out
+
+
+def test_tfidf_matches_brute(spark):
+    got = defaultdict(list)
+    rows = tfidf_top_terms(_docs_df(spark), 3).collect()
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["rnk"])):
+        got[r["doc_id"]].append((r["tok"], r["tf"], r["tfidf"]))
+    want = _brute_tfidf_top(DOCS, 3)
+    assert dict(got) == want
+
+
+def test_tfidf_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        tfidf_top_terms(_docs_df(spark), 0)
+
+
+def _brute_contamination(train, bench, k=3, min_common=1):
+    def shing(text):
+        t = text.split()
+        return {" ".join(t[i:i + k]) for i in range(max(len(t) - k + 1, 1)) if t[i:i + k]}
+    bsh = {}
+    for i, text in bench:
+        bsh[i] = shing(text)
+    out = {}
+    for i, text in train:
+        s = shing(text)
+        shared = set()
+        hit_docs = set()
+        for b, bs in bsh.items():
+            inter = s & bs
+            if inter:
+                shared |= inter
+                hit_docs.add(b)
+        if len(shared) >= min_common:
+            out[i] = (len(s), len(shared), len(hit_docs),
+                      round(len(shared) / len(s), 6))
+    return out
+
+
+def test_contamination_matches_brute(spark):
+    from duwamish_spark.functions import benchmark_contamination
+
+    train = [(1, "a b c d e f"), (2, "x y z w"), (3, "a b c x y z"),
+             (4, "totally unique words here")]
+    bench = [(100, "a b c d q"), (101, "x y z w longer text")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared_shingles"],
+                      r["n_benchmark_hits"], r["share_ratio"])
+        for r in benchmark_contamination(tdf, bdf, k=3).collect()
+    }
+    assert got == _brute_contamination(train, bench)
+
+
+def test_contamination_min_common_filters(spark):
+    from duwamish_spark.functions import benchmark_contamination
+
+    train = [(1, "a b c d e f"), (2, "p q r s")]
+    bench = [(100, "a b c d e")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    rows = benchmark_contamination(tdf, bdf, k=3, min_common=3).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["n_shared_shingles"] == 3  # 'a b c','b c d','c d e'

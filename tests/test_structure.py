@@ -343,3 +343,94 @@ def test_coreness_clique_plus_tail(spark):
     free_local_checkpoint(res.state)
     assert all(got[x] == 4 for x in range(5))
     assert got[10] == got[11] == got[12] == 1
+
+
+# ---------------------------------------------------------------- stats
+
+
+def _brute_reciprocity(edges):
+    de = {(a, b) for a, b in edges if a != b}
+    recip = sum(1 for a, b in de if (b, a) in de)
+    return len(de), recip, round(recip / len(de), 6) if de else 0.0
+
+
+def _brute_assortativity(edges):
+    de = {(a, b) for a, b in edges if a != b}
+    outd, ind = defaultdict(int), defaultdict(int)
+    for a, b in de:
+        outd[a] += 1
+        ind[b] += 1
+    xs = [(outd[a], ind[b]) for a, b in de]
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    vx = m * sxx - sx * sx
+    vy = m * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return 0.0
+    return round((m * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)), 6)
+
+
+def test_reciprocity_matches_brute(spark):
+    from duwamish_spark.algorithms import reciprocity
+
+    edges = EDGES + [(2, 1), (4, 3), (7, 6)]  # add some reverse arcs
+    row = reciprocity(_edges_df(spark, edges)).collect()[0]
+    tot, rec, r = _brute_reciprocity(edges)
+    assert (row["total_edges"], row["reciprocal_edges"]) == (tot, rec)
+    assert row["reciprocity"] == pytest.approx(r, abs=1e-9)
+
+
+def test_reciprocity_random_graph(spark):
+    from duwamish_spark.algorithms import reciprocity
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(200)]
+    row = reciprocity(_edges_df(spark, edges)).collect()[0]
+    tot, rec, r = _brute_reciprocity(edges)
+    assert (row["total_edges"], row["reciprocal_edges"]) == (tot, rec)
+    assert row["reciprocity"] == pytest.approx(r, abs=1e-9)
+
+
+def test_assortativity_matches_brute(spark):
+    from duwamish_spark.algorithms import degree_assortativity
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(300)]
+    row = degree_assortativity(_edges_df(spark, edges)).collect()[0]
+    assert row["assortativity"] == pytest.approx(
+        _brute_assortativity(edges), abs=1e-9
+    )
+
+
+def test_assortativity_regular_graph_is_zero(spark):
+    from duwamish_spark.algorithms import degree_assortativity
+
+    # directed 6-cycle: every out/in degree is 1 -> zero variance -> 0.0
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    row = degree_assortativity(_edges_df(spark, edges)).collect()[0]
+    assert row["assortativity"] == 0.0
+
+
+def test_closeness_matches_brute_bfs(spark):
+    from duwamish_spark.algorithms import closeness_centrality
+    from duwamish_spark.algorithms.anf import hll_register  # noqa: F401
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    # m large enough that the HLL estimate of tiny out-balls is near-exact
+    # only in expectation; the contract tested here is structural:
+    # sinks are exactly 0.0, and sketch-identical vertices get identical
+    # closeness (exactness vs BFS is the oracle query's job via the
+    # bit-identical SQL replay).
+    edges = [(1, 2), (2, 3), (3, 4), (5, 5), (6, 2)]
+    out = closeness_centrality(spark, _edges_df(spark, edges), 3, m=64)
+    got = {r["id"]: r["closeness"] for r in out.collect()}
+    free_local_checkpoint(out)
+    assert got[4] == 0.0  # sink
+    assert got[5] == 0.0  # only a self-loop: ball never grows
+    # 1 and 6 both see exactly {2,3,4} at hops 1..3: identical sketches
+    assert got[1] == got[6]
+    assert got[1] > 0.0 and got[2] > 0.0 and got[3] > 0.0
