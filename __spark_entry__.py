@@ -284,6 +284,34 @@ def q_closeness_h3(spark, sf_dir):
     return closeness_centrality(spark, e, 3, m=16)
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Topic-cluster assignment: every embedding to its nearest
+    deterministic-Lloyd centroid (k=4, 2 iterations, cosine, ties to
+    the smaller cluster) — one broadcast cross join over the points
+    (functions/similarity.py kmeans_assign)."""
+    from duwamish_spark.functions import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), k=4, iters=2)
+
+
+def q_densest_round2(spark, sf_dir):
+    """Two rounds of densest-subgraph greedy peeling (Bahmani et al.,
+    eps=0.125): drop deg <= 1.125·avg each round, return survivors'
+    (id, degree) — the fixed-round SQL-replayable unit; best-round
+    semantics and the 2(1+eps) guarantee are pytest-gated
+    (algorithms/densest.py)."""
+    from duwamish_spark.algorithms import densest_subgraph
+
+    res = densest_subgraph(
+        spark,
+        _edges(spark, sf_dir),
+        epsilon=0.125,
+        max_rounds=2,
+        return_best=False,
+    )
+    return res.state
+
+
 def q_boruvka_round1(spark, sf_dir):
     """Round 1 of Borůvka MSF: every vertex picks its minimum incident
     undirected edge under the total order (w, u, v), weight =
@@ -883,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "degree_assortativity": q_degree_assortativity,
         "boruvka_round1": q_boruvka_round1,
+        "densest_round2": q_densest_round2,
+        "kmeans_assign": q_kmeans_assign,
         "betweenness_h3": q_betweenness_h3,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
@@ -1642,6 +1672,34 @@ def _kmeans_sql(k: int, iters: int, dim: int = 64) -> str:
     """DuckDB twin of kmeans_centroids(k, iters): same init (vectors of
     the k smallest ids), cosine argmax assignment with smaller-cluster
     tie-break, empty clusters keep their previous centroid."""
+    ctes = _kmeans_ctes(k, iters, dim)
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT cluster, pos, round(m, 6) AS v FROM c{iters}")
+
+
+def _kmeans_assign_sql(k: int, iters: int, dim: int = 64) -> str:
+    """kmeans chain + one final assignment pass against c{iters} —
+    the DuckDB twin of kmeans_assign(k, iters)."""
+    ctes = _kmeans_ctes(k, iters, dim)
+    f = iters + 1
+    ctes.append(
+        f"""d{f} AS (SELECT p.id, c.cluster,
+                  sum(p.v[c.pos + 1]::DOUBLE * c.m) AS dot,
+                  sqrt(sum(p.v[c.pos + 1]::DOUBLE * p.v[c.pos + 1]::DOUBLE)) AS np,
+                  sqrt(sum(c.m * c.m)) AS nc
+           FROM pts p, c{iters} c GROUP BY p.id, c.cluster)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT id AS vec_id, cluster::BIGINT AS cluster FROM (
+            SELECT id, cluster, row_number() OVER (
+                PARTITION BY id ORDER BY dot / (np * nc) DESC, cluster ASC) AS rn
+            FROM d{f}) WHERE rn = 1"""
+    )
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int = 64) -> list[str]:
     ctes = [
         "pts AS (SELECT vec_id AS id, embedding AS v FROM embeddings)",
         f"""init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v
@@ -1674,8 +1732,7 @@ def _kmeans_sql(k: int, iters: int, dim: int = 64) -> str:
                FROM {prev} c LEFT JOIN r{it} r
                ON r.cluster = c.cluster AND r.pos = c.pos)"""
         )
-    return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT cluster, pos, round(m, 6) AS v FROM c{iters}")
+    return ctes
 
 
 def _simhash_md5_sql(max_hamming: int) -> str:
@@ -1827,6 +1884,24 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN t.total_edges = 0 THEN 0.0 ELSE "
             "round(r.reciprocal_edges::DOUBLE / t.total_edges::DOUBLE, 6) END "
             "AS reciprocity FROM t, r"
+        ),
+        "densest_round2": (
+            f"WITH {_EDGE_CTE}, {_SYM_CTE}, "
+            "d1 AS (SELECT src AS id, count(*)::BIGINT AS degree FROM sym GROUP BY src), "
+            "t1 AS (SELECT count(*)::BIGINT AS v, sum(degree)::BIGINT AS e2 FROM d1), "
+            "dr1 AS (SELECT id FROM d1, t1 "
+            "WHERE degree <= 1.125::DOUBLE * (e2::DOUBLE / v::DOUBLE)), "
+            "s2 AS (SELECT sym.src, sym.dst FROM sym "
+            "LEFT JOIN dr1 a ON a.id = sym.src LEFT JOIN dr1 b ON b.id = sym.dst "
+            "WHERE a.id IS NULL AND b.id IS NULL), "
+            "d2 AS (SELECT src AS id, count(*)::BIGINT AS degree FROM s2 GROUP BY src), "
+            "t2 AS (SELECT count(*)::BIGINT AS v, sum(degree)::BIGINT AS e2 FROM d2), "
+            "dr2 AS (SELECT id FROM d2, t2 "
+            "WHERE degree <= 1.125::DOUBLE * (e2::DOUBLE / v::DOUBLE)), "
+            "s3 AS (SELECT s2.src, s2.dst FROM s2 "
+            "LEFT JOIN dr2 a ON a.id = s2.src LEFT JOIN dr2 b ON b.id = s2.dst "
+            "WHERE a.id IS NULL AND b.id IS NULL) "
+            "SELECT src AS id, count(*)::BIGINT AS degree FROM s3 GROUP BY src"
         ),
         "boruvka_round1": (
             f"WITH {_EDGE_CTE}, "
@@ -2014,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY label, i
         """,
         "kmeans_centroids": _kmeans_sql(4, 2),
+        "kmeans_assign": _kmeans_assign_sql(4, 2),
         "simhash_near_dups": _simhash_md5_sql(7),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_near_dups": _NGRAM_JACCARD_SQL,

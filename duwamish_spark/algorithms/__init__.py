@@ -20,6 +20,7 @@ from duwamish_spark.algorithms.anf import (
     neighborhood_function,
 )
 from duwamish_spark.algorithms.betweenness import betweenness_sampled
+from duwamish_spark.algorithms.densest import densest_subgraph
 from duwamish_spark.algorithms.msf import (
     boruvka_min_edges,
     minimum_spanning_forest,
@@ -42,6 +43,7 @@ __all__ = [
     "degree_assortativity",
     "reciprocity",
     "boruvka_min_edges",
+    "densest_subgraph",
     "minimum_spanning_forest",
     "weighted_canonical_edges",
     "link_prediction",

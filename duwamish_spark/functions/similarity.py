@@ -231,6 +231,36 @@ def kmeans_centroids(
     return cent
 
 
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) — topic-cluster assignment of every vector to its
+    nearest deterministic-Lloyd centroid (cosine, ties to the smaller
+    cluster id). This is the clustering-as-output face of the IVF
+    quantizer: the standard corpus-organization step (topic buckets for
+    mixture balancing, dedup scoping, curriculum ordering) at a cost of
+    one broadcast cross join over the points — the k-row centroid table
+    is broadcast, the points never shuffle."""
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    cent = kmeans_centroids(emb, k, iters, id_col, vec_col)
+    pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    out = (
+        _assign_clusters(pts, cent)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    free_local_checkpoint(cent)
+    return out
+
+
 def _assign_clusters(pts: DataFrame, cent: DataFrame) -> DataFrame:
     """(id, v, cluster) — nearest centroid by cosine, ties to smaller id."""
     from pyspark.sql.window import Window
