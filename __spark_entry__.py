@@ -284,6 +284,34 @@ def q_closeness_h3(spark, sf_dir):
     return closeness_centrality(spark, e, 3, m=16)
 
 
+def q_neighbor_mean_emb(spark, sf_dir):
+    """One GNN mean-aggregation layer over the link graph: per-vertex
+    component-wise mean of out-neighbors' embeddings, floor-fixed-point
+    sums (aa_micro discipline) so the shuffle order can't perturb the
+    result (functions/similarity.py neighbor_mean_embedding)."""
+    from duwamish_spark.functions import neighbor_mean_embedding
+
+    out = neighbor_mean_embedding(_edges(spark, sf_dir), _emb(spark, sf_dir))
+    # gate on the exact fixed-point mean (mean_micro): the rounded double
+    # column has a decimal-halfway rounding surface between engines
+    # (Spark BigDecimal HALF_UP vs DuckDB binary-double rounding)
+    return out.select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), "mean_micro", "n_nbrs"
+    )
+
+
+def q_mis_round1(spark, sf_dir):
+    """Round 1 of Luby's maximal independent set with deterministic
+    md5-u32 priorities: winners = strict local (p, id) maxima among
+    undecided neighbors, losers = their neighbors — exactly
+    SQL-replayable; full convergence (independence + maximality) is
+    pytest-gated (algorithms/mis.py)."""
+    from duwamish_spark.algorithms import maximal_independent_set
+
+    v, e = _graph(spark, sf_dir)
+    return maximal_independent_set(spark, v, e, max_rounds=1).state
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Topic-cluster assignment: every embedding to its nearest
     deterministic-Lloyd centroid (k=4, 2 iterations, cosine, ties to
@@ -913,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boruvka_round1": q_boruvka_round1,
         "densest_round2": q_densest_round2,
         "kmeans_assign": q_kmeans_assign,
+        "mis_round1": q_mis_round1,
+        "neighbor_mean_emb": q_neighbor_mean_emb,
         "betweenness_h3": q_betweenness_h3,
         "parse_edges": q_parse_edges,
         "content_sha256": q_content_sha256,
@@ -1884,6 +1914,31 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN t.total_edges = 0 THEN 0.0 ELSE "
             "round(r.reciprocal_edges::DOUBLE / t.total_edges::DOUBLE, 6) END "
             "AS reciprocity FROM t, r"
+        ),
+        "neighbor_mean_emb": (
+            f"WITH {_EDGE_CTE}, "
+            "de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst), "
+            "comp AS (SELECT vec_id AS nid, i AS pos, "
+            "floor(embedding[i + 1]::DOUBLE * 1000000.0)::BIGINT AS xm "
+            "FROM embeddings, generate_series(0, 63) t(i)), "
+            "agg AS (SELECT de.src AS vec_id, comp.pos, "
+            "sum(comp.xm)::BIGINT AS s, count(*)::BIGINT AS n_nbrs "
+            "FROM de JOIN comp ON comp.nid = de.dst GROUP BY de.src, comp.pos) "
+            "SELECT vec_id, pos, "
+            "floor(s::DOUBLE / n_nbrs::DOUBLE)::BIGINT AS mean_micro, "
+            "n_nbrs FROM agg"
+        ),
+        "mis_round1": (
+            f"WITH {_EDGE_CTE}, {_VERT_CTE}, {_SYM_CTE}, "
+            "pr AS (SELECT id, ('0x' || substring(md5('mis:' || id::VARCHAR), "
+            "1, 8))::UINTEGER::BIGINT AS p FROM v), "
+            "win AS (SELECT a.id FROM pr a WHERE NOT EXISTS ("
+            "SELECT 1 FROM sym s JOIN pr b ON b.id = s.dst "
+            "WHERE s.src = a.id AND (b.p > a.p OR (b.p = a.p AND b.id > a.id)))), "
+            "lose AS (SELECT DISTINCT s.dst AS id FROM sym s "
+            "JOIN win ON win.id = s.src) "
+            "SELECT id, TRUE AS in_mis, 1::BIGINT AS round FROM win "
+            "UNION ALL SELECT id, FALSE AS in_mis, 1::BIGINT AS round FROM lose"
         ),
         "densest_round2": (
             f"WITH {_EDGE_CTE}, {_SYM_CTE}, "

@@ -438,6 +438,14 @@ def main() -> None:
     extra["harmonic_h3"] = {"sec": round(time.monotonic() - t0, 3)}
     free_local_checkpoint(hc)
 
+    from duwamish_spark.algorithms import closeness_centrality
+
+    t0 = time.monotonic()
+    cl = closeness_centrality(spark, edges, 3, m=16, num_partitions=cpus)
+    cl.count()
+    extra["closeness_h3"] = {"sec": round(time.monotonic() - t0, 3)}
+    free_local_checkpoint(cl)
+
     t0 = time.monotonic()
     src_row = edges.limit(1).collect()
     if src_row:
@@ -483,6 +491,61 @@ def main() -> None:
     }
     free_local_checkpoint(kt.state)
 
+    # round-3 session-3 additions (detail-only): spanning forest,
+    # densest-subgraph peel, scalar graph stats — all on the main
+    # deg-127 graph (they are E-bounded per round, no wedge blowup)
+    from duwamish_spark.algorithms import (
+        degree_assortativity,
+        densest_subgraph,
+        minimum_spanning_forest,
+        reciprocity,
+    )
+
+    t0 = time.monotonic()
+    msf = minimum_spanning_forest(spark, edges, num_partitions=cpus)
+    extra["msf_boruvka"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "rounds": msf.rounds,
+        "forest_edges": msf.forest.count(),
+        "halted": msf.halted,
+    }
+    msf.free()
+
+    t0 = time.monotonic()
+    dsg = densest_subgraph(
+        spark, edges, epsilon=0.125, max_rounds=30, num_partitions=cpus
+    )
+    extra["densest_peel"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "rounds": dsg.supersteps,
+        "best_density": round(dsg.last.get("best_density", 0.0), 3),
+        "best_round": dsg.last.get("best_round"),
+        "subgraph_vertices": dsg.state.count(),
+    }
+    free_local_checkpoint(dsg.state)
+
+    t0 = time.monotonic()
+    rrow = reciprocity(edges).collect()[0]
+    arow = degree_assortativity(edges).collect()[0]
+    extra["graph_stats"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "reciprocity": rrow["reciprocity"],
+        "assortativity": arow["assortativity"],
+    }
+
+    from duwamish_spark.algorithms import maximal_independent_set
+
+    t0 = time.monotonic()
+    mis = maximal_independent_set(spark, verts, edges, num_partitions=cpus)
+    n_mis = mis.state.where(F.col("in_mis")).count()
+    extra["luby_mis"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "rounds": mis.supersteps,
+        "mis_size": n_mis,
+        "halted": mis.halted,
+    }
+    free_local_checkpoint(mis.state)
+
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs_path):
         docs = spark.read.parquet(docs_path)
@@ -496,6 +559,41 @@ def main() -> None:
         n_sh = simhash_near_dups(docs, max_hamming=3).count()
         extra["simhash_near_dups"] = {
             "sec": round(time.monotonic() - t0, 3), "pairs": n_sh,
+        }
+
+        # training-pipeline text ops added round-3 session-3 (detail-only)
+        from duwamish_spark.functions import (
+            benchmark_contamination,
+            hash_split,
+            stratified_sample,
+            tfidf_top_terms,
+        )
+
+        t0 = time.monotonic()
+        n_tfidf = tfidf_top_terms(docs, 3).count()
+        extra["tfidf_top3"] = {
+            "sec": round(time.monotonic() - t0, 3), "rows": n_tfidf,
+        }
+
+        t0 = time.monotonic()
+        bench_slice = docs.where(F.col("doc_id") % 20 == 0)
+        train_slice = docs.where(F.col("doc_id") % 20 != 0)
+        n_contam = benchmark_contamination(train_slice, bench_slice, k=3).count()
+        extra["contamination"] = {
+            "sec": round(time.monotonic() - t0, 3), "flagged": n_contam,
+        }
+
+        t0 = time.monotonic()
+        n_train = (
+            hash_split(docs, "doc_id").where(F.col("split") == "train").count()
+        )
+        n_sampled = stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.8}, default_fraction=0.25
+        ).count()
+        extra["split_sample"] = {
+            "sec": round(time.monotonic() - t0, 3),
+            "train_rows": n_train,
+            "sampled_rows": n_sampled,
         }
 
         from duwamish_spark.functions import decode_media, frame_sample, synth_media

@@ -21,6 +21,7 @@ from duwamish_spark.algorithms.anf import (
 )
 from duwamish_spark.algorithms.betweenness import betweenness_sampled
 from duwamish_spark.algorithms.densest import densest_subgraph
+from duwamish_spark.algorithms.mis import maximal_independent_set
 from duwamish_spark.algorithms.msf import (
     boruvka_min_edges,
     minimum_spanning_forest,
@@ -44,6 +45,7 @@ __all__ = [
     "reciprocity",
     "boruvka_min_edges",
     "densest_subgraph",
+    "maximal_independent_set",
     "minimum_spanning_forest",
     "weighted_canonical_edges",
     "link_prediction",

@@ -15,12 +15,17 @@ already has, alternated:
    incident cross-component edge under the TOTAL order (w, u, v) — a
    groupBy-min over the component-projected edge relation (E-bounded,
    map-side combinable, the same cost shape as one hash-min superstep);
-2. **contraction**: the chosen edges form a graph over components;
-   merging = connected components of that graph, delegated to
-   :func:`~duwamish_spark.algorithms.components.connected_components`
-   (algorithm="auto": hash-min with an O(log n) alternating-star
-   fallback, so chain-shaped selections — a path graph with monotone
-   weights produces them — cannot degrade a round past O(log n)).
+2. **contraction**: every component's selection is a parent pointer
+   (c → the other endpoint's component), so the selection graph is a
+   FUNCTIONAL graph — and with a total edge order its only cycles are
+   mutual-selection 2-cycles (a longer cycle would need strictly
+   decreasing weights all the way around). Contraction is therefore
+   pointer doubling: break each 2-cycle toward the min id (making the
+   structure a forest of rooted trees), then square the pointer until
+   fixpoint — O(log depth) self-joins on a component-sized relation,
+   no nested CC machinery. Chain-shaped selections (a path graph with
+   monotone weights) are the worst case and still cost only
+   log2(chain) jumps.
 
 Each round at least halves the number of components, so there are at
 most log2(V) rounds; the edge relation is RE-CONTRACTED each round
@@ -80,6 +85,47 @@ def boruvka_min_edges(wedges: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _contract_selection(sel: DataFrame, max_jumps: int = 64) -> DataFrame:
+    """(c, root) for every selecting component: pointer-double the
+    functional selection graph c -> m.oc to its tree roots.
+
+    2-cycles (mutual selections — the only cycles, see module
+    docstring) are first broken toward the min id, making every
+    component a rooted tree (root points to itself); then p := p(p)
+    until nothing changes. Each jump is one self-equi-join of a
+    |components|-row relation.
+    """
+    par = sel.select(F.col("c"), F.col("m.oc").alias("p"))
+    # break mutual selections toward the min id: c and p select each
+    # other iff the pair (p, c) is also a parent row
+    rev = par.select(F.col("p").alias("c"), F.col("c").alias("p"))
+    par = (
+        par.join(rev, ["c", "p"], "left_semi")
+        .select("c", F.least("c", "p").alias("p"))
+        .unionAll(par.join(rev, ["c", "p"], "left_anti"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_jumps):
+        # p2(c) = p(p(c))
+        nxt = (
+            par.alias("a")
+            .join(
+                par.select(F.col("c").alias("p"), F.col("p").alias("p2")).alias("b"),
+                "p",
+            )
+            .select(F.col("c"), F.col("p2").alias("p"), (F.col("p") != F.col("p2")).alias("ch"))
+        )
+        changed = nxt.where(F.col("ch")).limit(1).count()
+        nxt = nxt.select("c", "p").localCheckpoint(eager=True)
+        free_local_checkpoint(par)
+        par = nxt
+        if changed == 0:
+            break
+    out = par.select("c", F.col("p").alias("root")).localCheckpoint(eager=True)
+    free_local_checkpoint(par)
+    return out
+
+
 @dataclass
 class MSFResult:
     forest: DataFrame        # (u, v, w) — edges of the unique MSF
@@ -105,9 +151,6 @@ def minimum_spanning_forest(
     under the total order (w, u, v). See module docstring for the
     round structure and scale argument.
     """
-    from duwamish_spark.algorithms.components import connected_components
-
-    sc = spark.sparkContext
     p = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
     p = int(p)
 
@@ -158,18 +201,8 @@ def minimum_spanning_forest(
         )
         forest_parts.append(chosen)
 
-        # 2. contraction: CC over the chosen selection graph c -> m.oc
-        cedges = sel.select(F.col("c").alias("src"), F.col("m.oc").alias("dst"))
-        cverts = sel.select(F.col("c").alias("id"))
-        cc = connected_components(
-            spark,
-            cverts,
-            cedges,
-            encode=False,
-            num_partitions=p,
-            run_id=f"msf_contract_r{r}",
-        )
-        roots = cc.state.select(F.col("id").alias("c"), F.col("label").alias("root"))
+        # 2. contraction: pointer-double the functional selection graph
+        roots = _contract_selection(sel)
 
         # labels: id -> new root (components not in `sel` are finished —
         # they keep their label)
@@ -180,7 +213,6 @@ def minimum_spanning_forest(
                 "id", F.coalesce("root", "comp").alias("comp")
             )
         labels = labels.localCheckpoint(eager=True)
-        free_local_checkpoint(cc.state)
 
         # 3. re-contract the edge relation onto the merged components,
         # keeping one min original edge per (cu, cv) pair
@@ -223,6 +255,7 @@ def minimum_spanning_forest(
             }
         )
         free_local_checkpoint(cur)
+        free_local_checkpoint(roots)
         cur = nxt
 
     if cur is not None and not halted:

@@ -510,3 +510,62 @@ def knn_lsh_recall(
         "n_planes": n_planes,
         "n_tables": n_tables,
     }
+
+
+def neighbor_mean_embedding(
+    edges: DataFrame,
+    emb: DataFrame,
+    *,
+    micro: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One GNN mean-aggregation layer over the link graph: for every
+    vertex with at least one out-neighbor that has an embedding, the
+    component-wise mean of those neighbors' embeddings —
+    (vec_id, pos, mean_x, n_nbrs) in exploded form.
+
+    This is the feature-propagation primitive (GraphSAGE-mean /
+    LightGCN layer): at 100 TB it is ONE edges⋈components equi-join
+    (shuffle keyed on the neighbor id, E·d rows) plus ONE groupBy —
+    no Python, no UDF, whole-stage codegen.
+
+    Determinism discipline (the aa_micro pattern): components are
+    fixed-pointed with floor(x·micro) BEFORE summing, so the shuffle
+    order can't perturb the sum; the only float op is the final
+    (sum/n)/micro division chain, fixed order, DuckDB-replayable
+    bit-for-bit under round(6).
+    """
+    comp = emb.select(
+        F.col(id_col).alias("nid"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).select(
+        "nid", "pos",
+        F.floor(F.col("x").cast("double") * F.lit(float(micro)))
+        .cast("long").alias("xm"),
+    )
+    de = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    agg = (
+        de.join(comp, de["dst"] == comp["nid"])
+        .groupBy(F.col("src").alias(id_col), "pos")
+        .agg(F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n_nbrs"))
+    )
+    return agg.select(
+        id_col,
+        "pos",
+        F.round(
+            (F.col("s").cast("double") / F.col("n_nbrs").cast("double"))
+            / F.lit(float(micro)),
+            6,
+        ).alias("mean_x"),
+        # exact fixed-point mean: floor of an IEEE-identical division —
+        # no decimal-halfway rounding surface, the bit-exact gate column
+        F.floor(F.col("s").cast("double") / F.col("n_nbrs").cast("double"))
+        .cast("long")
+        .alias("mean_micro"),
+        "n_nbrs",
+    )

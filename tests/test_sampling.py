@@ -173,3 +173,39 @@ def test_contamination_min_common_filters(spark):
     rows = benchmark_contamination(tdf, bdf, k=3, min_common=3).collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["n_shared_shingles"] == 3  # 'a b c','b c d','c d e'
+
+
+def test_neighbor_mean_embedding_matches_brute(spark):
+    import math as _math
+
+    from duwamish_spark.functions import neighbor_mean_embedding
+
+    vecs = {1: [0.5, -0.25], 2: [1.0, 0.125], 3: [-0.33333333, 2.0]}
+    edges = [(10, 1), (10, 2), (10, 3), (1, 2), (1, 2), (2, 99), (5, 5)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    ed = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["vec_id"], r["pos"]): (r["mean_x"], r["mean_micro"], r["n_nbrs"])
+        for r in neighbor_mean_embedding(ed, emb).collect()
+    }
+    # brute with the same floor-fixed-point discipline
+    de = {(a, b) for a, b in edges if a != b}
+    want = {}
+    outn = {}
+    for a, b in de:
+        if b in vecs:
+            outn.setdefault(a, []).append(b)
+    for a, nbrs in outn.items():
+        for pos in range(2):
+            s = sum(_math.floor(vecs[b][pos] * 1_000_000) for b in nbrs)
+            n = len(nbrs)
+            want[(a, pos)] = (
+                round((s / n) / 1_000_000, 6),
+                _math.floor(s / n),
+                n,
+            )
+    assert got == want
+    # 99 and the self-loop vertex have no embedded out-neighbors
+    assert not [k for k in got if k[0] in (99, 5)]
