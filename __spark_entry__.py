@@ -503,6 +503,15 @@ def q_ktruss_round2(spark, sf_dir):
     return k_truss(spark, e, KTRUSS_K, max_rounds=KTRUSS_ROUNDS).state
 
 
+def q_square_count(spark, sf_dir):
+    """Exact 4-cycle (rectangle) count — one (wedge_pairs, squares) row;
+    all-integer arithmetic so the DuckDB replay is bit-exact."""
+    from duwamish_spark.algorithms import square_count
+
+    e = _edges(spark, sf_dir)
+    return square_count(e)
+
+
 def q_lp_modularity_round3(spark, sf_dir):
     """Newman modularity of the LP round-3 labeling — the community
     algorithm's standard quality gate; integer aggregation with a single
@@ -959,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_top5": q_link_pred_top5,
         "ktruss_round2": q_ktruss_round2,
         "lp_modularity_round3": q_lp_modularity_round3,
+        "square_count": q_square_count,
         "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
         "recommend_round4": q_recommend_round4,
@@ -2019,6 +2029,16 @@ def oracle_sql() -> dict[str, str]:
         "link_pred_top5": _link_pred_sql(5, 2, 1_000_000),
         "ktruss_round2": _ktruss_fixed_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "lp_modularity_round3": _modularity_lp_sql(3),
+        "square_count": f"""
+            WITH {_EDGE_CTE}, {_CANON_CTE}, {_SADJ_CTE},
+            wg AS (SELECT x.w2 AS a, y.w2 AS b
+                   FROM sadj x JOIN sadj y ON x.u = y.u
+                   WHERE x.w2 < y.w2),
+            p AS (SELECT a, b, count(*) AS w FROM wg GROUP BY a, b)
+            SELECT count(*)::BIGINT AS wedge_pairs,
+                   CAST(sum(w * (w - 1)) // 4 AS BIGINT) AS squares
+            FROM p
+        """,
         "sssp_round3": _sssp_chain_sql(3),
         "triangle_count": f"""
             WITH {_EDGE_CTE},

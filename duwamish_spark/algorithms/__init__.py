@@ -35,6 +35,7 @@ from duwamish_spark.algorithms.structure import (
     link_prediction,
     modularity,
     reciprocity,
+    square_count,
 )
 
 __all__ = [
@@ -51,6 +52,7 @@ __all__ = [
     "link_prediction",
     "k_truss",
     "modularity",
+    "square_count",
     "recommendations",
     "hits",
     "k_core",

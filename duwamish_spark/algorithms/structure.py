@@ -406,3 +406,40 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             6,
         ).alias("modularity")
     )
+
+
+def square_count(edges: DataFrame, *, max_mid_degree: int | None = None) -> DataFrame:
+    """Total 4-cycle (square/rectangle) count of the undirected simple
+    graph — one row (wedge_pairs, squares): squares =
+    Σ_{u<v} C(W(u,v), 2) / 2 where W(u,v) = common-neighbor count
+    (each square is counted once per diagonal). Rectangle counting is
+    the standard next motif after triangles on a web/link graph
+    (co-citation density, spam-farm signatures, bipartite-core
+    detection).
+
+    All integer arithmetic — exactly SQL-replayable. The wedge relation
+    is the scale hazard (Σ_x C(d(x), 2)); ``max_mid_degree`` drops
+    wedges through hubs above the cap (documented approximation, the
+    link_prediction guard), exact when None.
+    """
+    adj = _simple_adjacency(edges)
+    if max_mid_degree is not None:
+        deg = _simple_degrees(edges).where(
+            F.col("degree") <= max_mid_degree
+        ).select(F.col("id").alias("u"))
+        adj = adj.join(deg, "u")
+    wedges = (
+        adj.select(F.col("u").alias("mid"), F.col("v").alias("a"))
+        .join(
+            adj.select(F.col("u").alias("mid"), F.col("v").alias("b")),
+            "mid",
+        )
+        .where(F.col("a") < F.col("b"))
+    )
+    pairs = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    # Σ w(w-1) = 2 Σ C(w,2) = 4 · squares — integer all the way (DIV,
+    # not float division: exact past 2^53)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("wedge_pairs"),
+        F.expr("CAST(sum(w * (w - 1)) DIV 4 AS BIGINT)").alias("squares"),
+    )

@@ -255,6 +255,68 @@ def test_modularity_perfect_split_is_positive(spark):
 
 
 # ---------------------------------------------------------------------------
+# square (4-cycle) counting
+# ---------------------------------------------------------------------------
+
+
+def _brute_squares(edges):
+    """Count distinct 4-cycles by enumerating ordered closed 4-walks with
+    distinct vertices, / 8 (4 rotations x 2 reflections)."""
+    nb = _nbrs(_simple(edges))
+    n = 0
+    for a in nb:
+        for b in nb[a]:
+            for c in nb[b]:
+                if c == a:
+                    continue
+                for d in nb[c]:
+                    if d != b and d != a and a in nb[d]:
+                        n += 1
+    assert n % 8 == 0
+    return n // 8
+
+
+def test_square_count_matches_brute(spark):
+    from duwamish_spark.algorithms import square_count
+
+    row = square_count(_edges_df(spark)).collect()[0]
+    assert row["squares"] == _brute_squares(EDGES)
+    # wedge_pairs = unordered vertex pairs with >= 1 common neighbor
+    nb = _nbrs(_simple(EDGES))
+    pairs = sum(
+        1
+        for a in nb
+        for b in nb
+        if a < b and nb[a] & nb[b]
+    )
+    assert row["wedge_pairs"] == pairs
+
+
+def test_square_count_random_graphs(spark):
+    from duwamish_spark.algorithms import square_count
+
+    rng = random.Random(11)
+    for trial in range(3):
+        edges = [
+            (rng.randrange(12), rng.randrange(12)) for _ in range(40)
+        ]
+        row = square_count(_edges_df(spark, edges)).collect()[0]
+        assert row["squares"] == _brute_squares(edges), trial
+
+
+def test_square_count_mid_degree_cap(spark):
+    from duwamish_spark.algorithms import square_count
+
+    e = _edges_df(spark)
+    exact = square_count(e).collect()[0]["squares"]
+    # cap above the max degree: identical to exact
+    assert square_count(e, max_mid_degree=100).collect()[0]["squares"] == exact
+    # cap below: drops hub-mediated wedges, never adds
+    capped = square_count(e, max_mid_degree=2).collect()[0]["squares"]
+    assert capped <= exact
+
+
+# ---------------------------------------------------------------------------
 # coreness (full k-core decomposition, h-index fixpoint)
 # ---------------------------------------------------------------------------
 
