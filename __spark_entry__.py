@@ -503,6 +503,23 @@ def q_ktruss_round2(spark, sf_dir):
     return k_truss(spark, e, KTRUSS_K, max_rounds=KTRUSS_ROUNDS).state
 
 
+TOPO_ROUNDS = 3
+
+
+def q_topo_depth_round3(spark, sf_dir):
+    """3 supersteps of the longest-path layering Pregel program
+    (max-combine frontier relaxation) — equals the longest walk of
+    length <= 3 ending at each vertex, which the chained-CTE oracle
+    replays; all-integer so the hash match is bit-exact."""
+    from duwamish_spark.algorithms import topological_depth
+    from duwamish_spark.graph import vertices_from
+
+    e = _edges(spark, sf_dir)
+    v = vertices_from(None, e)
+    res = topological_depth(spark, v, e, max_supersteps=TOPO_ROUNDS)
+    return res.state.select("id", "depth")
+
+
 def q_square_count(spark, sf_dir):
     """Exact 4-cycle (rectangle) count — one (wedge_pairs, squares) row;
     all-integer arithmetic so the DuckDB replay is bit-exact."""
@@ -969,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_round2": q_ktruss_round2,
         "lp_modularity_round3": q_lp_modularity_round3,
         "square_count": q_square_count,
+        "topo_depth_round3": q_topo_depth_round3,
         "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
         "recommend_round4": q_recommend_round4,
@@ -1040,6 +1058,31 @@ def _sssp_chain_sql(steps: int) -> str:
         )
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id, round(coalesce(dist, -1.0), 6) AS dist FROM r{steps}")
+
+
+def _topo_chain_sql(steps: int) -> str:
+    """Bounded longest-walk recurrence replay (layering.topological_depth):
+    d_t(v) = greatest(d_{t-1}(v), 1 + max over distinct simple arcs (u, v)
+    of d_{t-1}(u)); all BIGINT."""
+    ctes = [
+        _EDGE_CTE,
+        _VERT_CTE,
+        "arcs AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        "t0 AS (SELECT id, CAST(0 AS BIGINT) AS depth FROM v)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"tm{i} AS (SELECT a.dst AS id, max(d.depth) + 1 AS md "
+            f"FROM arcs a JOIN t{i-1} d ON d.id = a.src GROUP BY a.dst)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT v.id, greatest(d.depth, coalesce(m.md, 0)) AS depth "
+            f"FROM v JOIN t{i-1} d ON d.id = v.id LEFT JOIN tm{i} m ON m.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(depth AS BIGINT) AS depth FROM t{steps}"
+    )
 
 
 def _pagerank_chain_sql(steps: int, personalized: bool = False) -> str:
@@ -2040,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "sssp_round3": _sssp_chain_sql(3),
+        "topo_depth_round3": _topo_chain_sql(TOPO_ROUNDS),
         "triangle_count": f"""
             WITH {_EDGE_CTE},
             c AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst

@@ -28,6 +28,7 @@ from duwamish_spark.algorithms.msf import (
     weighted_canonical_edges,
 )
 from duwamish_spark.algorithms.coreness import coreness
+from duwamish_spark.algorithms.layering import topological_depth
 from duwamish_spark.algorithms.structure import (
     clustering_coefficient,
     degree_assortativity,
@@ -53,6 +54,7 @@ __all__ = [
     "k_truss",
     "modularity",
     "square_count",
+    "topological_depth",
     "recommendations",
     "hits",
     "k_core",
