@@ -520,6 +520,25 @@ def q_topo_depth_round3(spark, sf_dir):
     return res.state.select("id", "depth")
 
 
+COCITE_K = 3
+
+
+def q_cocitation_top3(spark, sf_dir):
+    """Top-3 co-citation partners per vertex (shared in-neighbors,
+    Small 1973) — all-integer deterministic ranking."""
+    from duwamish_spark.algorithms import cocitation
+
+    return cocitation(_edges(spark, sf_dir), k=COCITE_K)
+
+
+def q_bib_coupling_top3(spark, sf_dir):
+    """Top-3 bibliographic-coupling partners per vertex (shared
+    out-neighbors, Kessler 1963)."""
+    from duwamish_spark.algorithms import cocitation
+
+    return cocitation(_edges(spark, sf_dir), k=COCITE_K, coupling=True)
+
+
 def q_square_count(spark, sf_dir):
     """Exact 4-cycle (rectangle) count — one (wedge_pairs, squares) row;
     all-integer arithmetic so the DuckDB replay is bit-exact."""
@@ -987,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_modularity_round3": q_lp_modularity_round3,
         "square_count": q_square_count,
         "topo_depth_round3": q_topo_depth_round3,
+        "cocitation_top3": q_cocitation_top3,
+        "bib_coupling_top3": q_bib_coupling_top3,
         "sssp_round3": q_sssp_round3,
         "triangle_count": q_triangle_count,
         "recommend_round4": q_recommend_round4,
@@ -1083,6 +1104,32 @@ def _topo_chain_sql(steps: int) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, CAST(depth AS BIGINT) AS depth FROM t{steps}"
     )
+
+
+def _cocitation_sql(k: int, coupling: bool) -> str:
+    """Replay of structure.cocitation: distinct simple arcs, pivot
+    self-join, symmetrized per-vertex (weight DESC, partner ASC) top-k."""
+    piv = (
+        "SELECT dst AS z, src AS m FROM arcs"
+        if coupling
+        else "SELECT src AS z, dst AS m FROM arcs"
+    )
+    return f"""
+        WITH {_EDGE_CTE},
+        arcs AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        piv AS ({piv}),
+        p AS (SELECT x.m AS a, y.m AS b, count(*)::BIGINT AS weight
+              FROM piv x JOIN piv y ON x.z = y.z
+              WHERE x.m < y.m GROUP BY x.m, y.m),
+        sym AS (SELECT a AS id, b AS partner, weight FROM p
+                UNION ALL SELECT b, a, weight FROM p),
+        r AS (SELECT id, partner, weight,
+                     row_number() OVER (PARTITION BY id
+                       ORDER BY weight DESC, partner ASC) AS rnk
+              FROM sym)
+        SELECT id, partner, weight, CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= {k}
+    """
 
 
 def _pagerank_chain_sql(steps: int, personalized: bool = False) -> str:
@@ -2084,6 +2131,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sssp_round3": _sssp_chain_sql(3),
         "topo_depth_round3": _topo_chain_sql(TOPO_ROUNDS),
+        "cocitation_top3": _cocitation_sql(COCITE_K, False),
+        "bib_coupling_top3": _cocitation_sql(COCITE_K, True),
         "triangle_count": f"""
             WITH {_EDGE_CTE},
             c AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst

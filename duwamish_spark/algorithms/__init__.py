@@ -31,6 +31,7 @@ from duwamish_spark.algorithms.coreness import coreness
 from duwamish_spark.algorithms.layering import topological_depth
 from duwamish_spark.algorithms.structure import (
     clustering_coefficient,
+    cocitation,
     degree_assortativity,
     k_truss,
     link_prediction,
@@ -42,6 +43,7 @@ from duwamish_spark.algorithms.structure import (
 __all__ = [
     "betweenness_sampled",
     "clustering_coefficient",
+    "cocitation",
     "coreness",
     "degree_assortativity",
     "reciprocity",

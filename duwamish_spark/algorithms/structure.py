@@ -408,6 +408,71 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def cocitation(
+    edges: DataFrame,
+    k: int = 5,
+    *,
+    coupling: bool = False,
+    min_count: int = 1,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Top-k co-citation partners per vertex on the directed simple
+    graph: (id, partner, weight) where weight = number of shared
+    in-neighbors (Small 1973 — two files both imported by the same
+    sources are functionally related).  ``coupling=True`` flips to
+    bibliographic coupling (Kessler 1963): shared OUT-neighbors — two
+    files importing the same targets.  The directed complements of the
+    undirected ``link_prediction`` scores; the standard SALSA / related-
+    page substrate on a link graph.
+
+    All-integer, deterministic (weight DESC, partner ASC top-k via a
+    map-side-pruned window) — bit-exact SQL replay.
+
+    Scale guard: a pivot vertex with fan-out d contributes C(d, 2)
+    pairs; ``max_hub_degree`` drops pivots above the cap (for
+    co-citation the pivot fan-out is OUT-degree; for coupling,
+    IN-degree), the same bounded-loss contract as
+    ``link_prediction(max_center_degree=)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    arcs = _distinct_directed(edges)
+    if coupling:
+        # pivot = shared target: pair the citers
+        pivoted = arcs.select(F.col("dst").alias("z"), F.col("src").alias("m"))
+    else:
+        # pivot = shared citer: pair the targets
+        pivoted = arcs.select(F.col("src").alias("z"), F.col("dst").alias("m"))
+    if max_hub_degree is not None:
+        fan = pivoted.groupBy("z").agg(F.count(F.lit(1)).alias("fan"))
+        pivoted = pivoted.join(
+            fan.where(F.col("fan") <= max_hub_degree).select("z"), "z"
+        )
+    pairs = (
+        pivoted.select("z", F.col("m").alias("a"))
+        .join(pivoted.select("z", F.col("m").alias("b")), "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .where(F.col("weight") >= min_count)
+    )
+    sym = pairs.select(
+        F.col("a").alias("id"), F.col("b").alias("partner"), "weight"
+    ).unionAll(
+        pairs.select(
+            F.col("b").alias("id"), F.col("a").alias("partner"), "weight"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("weight").desc(), F.col("partner").asc()
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("id", "partner", "weight", F.col("rnk").alias("rnk"))
+    )
+
+
 def square_count(edges: DataFrame, *, max_mid_degree: int | None = None) -> DataFrame:
     """Total 4-cycle (square/rectangle) count of the undirected simple
     graph — one row (wedge_pairs, squares): squares =

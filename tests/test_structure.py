@@ -255,6 +255,72 @@ def test_modularity_perfect_split_is_positive(spark):
 
 
 # ---------------------------------------------------------------------------
+# co-citation / bibliographic coupling (directed)
+# ---------------------------------------------------------------------------
+
+
+def _brute_cocite(edges, k, coupling, min_count=1, cap=None):
+    arcs = {(a, b) for a, b in edges if a != b}
+    piv = defaultdict(set)
+    for a, b in arcs:
+        if coupling:
+            piv[b].add(a)
+        else:
+            piv[a].add(b)
+    if cap is not None:
+        piv = {z: ms for z, ms in piv.items() if len(ms) <= cap}
+    cnt = defaultdict(int)
+    for ms in piv.values():
+        for a in ms:
+            for b in ms:
+                if a < b:
+                    cnt[(a, b)] += 1
+    per = defaultdict(list)
+    for (a, b), w in cnt.items():
+        if w >= min_count:
+            per[a].append((b, w))
+            per[b].append((a, w))
+    out = {}
+    for v, lst in per.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        out[v] = [(p, w, r + 1) for r, (p, w) in enumerate(lst[:k])]
+    return out
+
+
+@pytest.mark.parametrize("coupling", [False, True])
+def test_cocitation_matches_brute(spark, coupling):
+    from duwamish_spark.algorithms import cocitation
+
+    rows = cocitation(_edges_df(spark), k=3, coupling=coupling).collect()
+    got = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["id"], r["rnk"])):
+        got[r["id"]].append((r["partner"], r["weight"], r["rnk"]))
+    assert dict(got) == _brute_cocite(EDGES, 3, coupling)
+
+
+def test_cocitation_random_directed(spark):
+    from duwamish_spark.algorithms import cocitation
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(70)]
+    rows = cocitation(_edges_df(spark, edges), k=2, min_count=2).collect()
+    got = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["id"], r["rnk"])):
+        got[r["id"]].append((r["partner"], r["weight"], r["rnk"]))
+    assert dict(got) == _brute_cocite(edges, 2, False, min_count=2)
+
+
+def test_cocitation_hub_cap(spark):
+    from duwamish_spark.algorithms import cocitation
+
+    rows = cocitation(_edges_df(spark), k=3, max_hub_degree=3).collect()
+    got = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["id"], r["rnk"])):
+        got[r["id"]].append((r["partner"], r["weight"], r["rnk"]))
+    assert dict(got) == _brute_cocite(EDGES, 3, False, cap=3)
+
+
+# ---------------------------------------------------------------------------
 # square (4-cycle) counting
 # ---------------------------------------------------------------------------
 
