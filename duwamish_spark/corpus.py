@@ -99,55 +99,67 @@ def synth_corpus(
     tgt_sorted_pos = pool_start[pool_edge] + (u * pool_size[pool_edge]).astype(np.int64)
     tgt = order[tgt_sorted_pos]
 
-    # --- render import lines (vectorized pandas string ops)
-    tgt_pkg = pkg[tgt].astype(str)
-    tgt_ord = ordinal[tgt].astype(str)
-    tgt_repo = repo_idx[tgt].astype(str)
-    src_lang = lang[src_edge]
-    parity = (np.arange(len(src_edge)) % 2).astype(bool)
-
-    mod_dotted = "pkg" + pd.Series(tgt_pkg) + ".mod" + pd.Series(tgt_ord)
-    mod_slash = "pkg" + pd.Series(tgt_pkg) + "/mod" + pd.Series(tgt_ord)
-    lines = pd.Series(np.empty(len(src_edge), dtype=object))
-    m = src_lang == "python"
-    lines[m & ~parity] = "import " + mod_dotted[m & ~parity]
-    lines[m & parity] = "from " + mod_dotted[m & parity] + " import handler"
-    m = src_lang == "java"
-    lines[m] = "import " + mod_dotted[m] + ";"
-    m = src_lang == "c"
-    lines[m] = '#include "' + mod_slash[m] + '.h"'
-    m = src_lang == "go"
-    lines[m] = 'import "repo' + pd.Series(tgt_repo)[m] + "/" + mod_slash[m] + '"'
+    # --- render import lines: one pass of f-strings over python lists.
+    # (Was vectorized pandas object-dtype concat — value-identical, but
+    # each op materialized a full 63M-row temporary; at n=1e6 the
+    # process's own multi-GB allocation churn degrades the sandbox's
+    # allocator ~25x and generation never finishes. The list pass does
+    # one allocation per line and caps peak RSS ~3x lower.)
+    E = len(src_edge)
+    tgt_pkg_l = pkg[tgt].tolist()
+    tgt_ord_l = ordinal[tgt].tolist()
+    tgt_repo_l = repo_idx[tgt].tolist()
+    src_lang_l = lang_idx[src_edge].tolist()  # 0=python 1=java 2=c 3=go
+    lines: list = [None] * E
+    for i in range(E):
+        li = src_lang_l[i]
+        p = tgt_pkg_l[i]
+        o = tgt_ord_l[i]
+        if li == 0:
+            if i % 2:
+                lines[i] = f"from pkg{p}.mod{o} import handler"
+            else:
+                lines[i] = f"import pkg{p}.mod{o}"
+        elif li == 1:
+            lines[i] = f"import pkg{p}.mod{o};"
+        elif li == 2:
+            lines[i] = f'#include "pkg{p}/mod{o}.h"'
+        else:
+            lines[i] = f'import "repo{tgt_repo_l[i]}/pkg{p}/mod{o}"'
+    del tgt_pkg_l, tgt_ord_l, tgt_repo_l, src_lang_l
 
     # ground-truth resolved edge ids
     dst_id = file_id[tgt]
     edges_truth = pd.DataFrame({"src": file_id[src_edge], "dst": dst_id})
 
-    # --- assemble content: header + imports + decoys + filler
-    import_block = (
-        lines.groupby(src_edge).agg("\n".join).reindex(file_idx).fillna("")
-    )
-    header = pd.Series(
-        ["// module " + p for p in path], dtype="str"
-    )
-    decoy = pd.Series(
-        np.where(
-            lang == "python",
-            "# import decoy.not_a_real_edge",
-            "  // import decoy.not_a_real_edge",
+    # --- assemble content: header + imports + decoys + filler.
+    # src_edge = repeat(arange, out_deg) is sorted, so each file's lines
+    # are the contiguous slice at its out_deg offset.
+    out_deg_l = out_deg.tolist()
+    path_l = path.tolist()
+    lang_idx_l = lang_idx.tolist()
+    content: list = [None] * n
+    pos = 0
+    for f in range(n):
+        d = out_deg_l[f]
+        block = "\n".join(lines[pos : pos + d]) if d else ""
+        pos += d
+        pth = path_l[f]
+        dec = (
+            "# import decoy.not_a_real_edge"
+            if lang_idx_l[f] == 0
+            else "  // import decoy.not_a_real_edge"
         )
-    )
-    content = (
-        header + "\n" + decoy + "\n" + import_block + "\n" + FILLER + " :: " + path
-    )
+        content[f] = f"// module {pth}\n{dec}\n{block}\n{FILLER} :: {pth}"
+    del lines
 
     corpus = pd.DataFrame(
         {
-            "repo": pd.Series(repo, dtype="str").astype(object),
-            "path": path.astype(object),
-            "commit": commit.astype(object),
-            "lang": pd.Series(lang).astype(object),
-            "content": content.astype(object),
+            "repo": [f"repo{r}" for r in repo_idx.tolist()],
+            "path": path_l,
+            "commit": list(commit),
+            "lang": lang.tolist(),
+            "content": content,
         }
     )
     return corpus, edges_truth
