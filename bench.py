@@ -546,6 +546,37 @@ def main() -> None:
     }
     free_local_checkpoint(mis.state)
 
+    # round-3 session-4 additions: squares + cocitation live on the d15
+    # graph (wedge/pivot-pair budgets — PLANS.md §session-4), layering on
+    # the main deg-127 graph (E-bounded per round like SSSP)
+    from duwamish_spark.algorithms import cocitation, square_count, topological_depth
+
+    t0 = time.monotonic()
+    sq = square_count(sedges).collect()[0]
+    extra["square_count_d15"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "wedge_pairs": sq["wedge_pairs"],
+        "squares": sq["squares"],
+    }
+
+    t0 = time.monotonic()
+    n_cc_pairs = cocitation(sedges, k=5).count()
+    extra["cocitation_top5_d15"] = {
+        "sec": round(time.monotonic() - t0, 3), "rows": n_cc_pairs,
+    }
+
+    t0 = time.monotonic()
+    topo = topological_depth(
+        spark, verts, edges, max_supersteps=20, num_partitions=cpus
+    )
+    extra["topo_depth"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "rounds": topo.supersteps,
+        "halted": topo.halted,
+        "max_depth": topo.last.get("max_depth"),
+    }
+    free_local_checkpoint(topo.state)
+
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs_path):
         docs = spark.read.parquet(docs_path)
