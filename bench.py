@@ -710,7 +710,14 @@ def main() -> None:
     }
     if sf1_block is not None:
         out["sf1"] = sf1_block
-    print(json.dumps(out))
+    # Stop Spark BEFORE emitting the result so no JVM output can trail or
+    # interleave with it, then print the JSON as the sole final line
+    # (leading newline flushes any partial progress line). The driver
+    # parses the tail of captured stdout — round 3's artifact had
+    # "parsed": null because progress noise truncated this line.
+    spark.stop()
+    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -84,15 +84,19 @@ def anf_sketches(
         raise ValueError("m must be in [1, 4096]")
     require_columns(edges, ("src", "dst"), "edges")
 
-    de = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    # Vertex set comes from the RAW edge relation: a vertex whose only
+    # edge is a self-loop must still appear (distance-0 ball = itself).
+    # The self-loop filter applies to the message relation only.
+    raw = edges.select("src", "dst")
+    verts = (
+        raw.select(F.col("src").alias("id"))
+        .unionAll(raw.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    de = raw.where(F.col("src") != F.col("dst")).distinct()
     if num_partitions:
         de = partition_by(de, num_partitions, "dst", partitioner)
     de = de.localCheckpoint(eager=True)
-    verts = (
-        de.select(F.col("src").alias("id"))
-        .unionAll(de.select(F.col("dst").alias("id")))
-        .distinct()
-    )
     reg, val = hll_register(F.col("id"), m)
     state = verts.select("id", reg, val).localCheckpoint(eager=True)
 

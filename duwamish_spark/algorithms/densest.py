@@ -132,10 +132,17 @@ def densest_subgraph(
         pass
 
     if return_best:
-        state = best if best is not None else (
-            alive.groupBy(F.col("src").alias("id"))
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
+        if best is not None:
+            state = best
+        else:
+            # empty edge set / max_rounds=0: materialize the fallback
+            # eagerly BEFORE alive's checkpoint blocks are freed below —
+            # a lazy plan over a freed localCheckpoint cannot recompute
+            state = (
+                alive.groupBy(F.col("src").alias("id"))
+                .agg(F.count(F.lit(1)).alias("degree"))
+                .localCheckpoint(eager=True)
+            )
     else:
         state = (
             alive.groupBy(F.col("src").alias("id"))

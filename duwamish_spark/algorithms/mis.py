@@ -21,11 +21,13 @@ analysis); each round is two E-bounded joins on the shrinking
 undecided-edge relation — the kcore/densest peel cost shape, same
 localCheckpoint-per-round storage discipline.
 
-Result state: (id, in_mis) for EVERY vertex of the edge relation's
-vertex set, plus the round each vertex was decided (metrics carry
-per-round winner/loser counts). The driver gate replays round 1 in
-DuckDB (``mis_round1``); full convergence (independence + maximality,
-exact brute replay) is pytest-gated.
+Result state: (id, in_mis, round) for EVERY vertex of the ``vertices``
+DataFrame — NULL in_mis/round marks vertices left undecided when
+``max_rounds`` is exhausted (metrics carry per-round winner/loser
+counts); edge endpoints not present in ``vertices`` are ignored on
+both sides (never winners, never losers). The driver gate replays
+round 1 in DuckDB (``mis_round1``); full convergence (independence +
+maximality, exact brute replay) is pytest-gated.
 """
 
 from __future__ import annotations
@@ -53,14 +55,26 @@ def maximal_independent_set(
     num_partitions: int | None = None,
     partitioner=None,
 ) -> PregelResult:
-    """Luby MIS. Result state: (id, in_mis boolean, round bigint) —
-    ``round`` is the superstep at which the vertex was decided.
+    """Luby MIS. Result state: (id, in_mis boolean, round bigint) for
+    EVERY vertex of ``vertices`` — ``round`` is the superstep at which
+    the vertex was decided; if ``max_rounds`` is exhausted first
+    (``halted=False``), still-undecided vertices appear with
+    ``in_mis`` and ``round`` NULL rather than being omitted.
     ``halted=True`` iff every vertex was decided within ``max_rounds``.
+
+    Edge endpoints absent from ``vertices`` are ignored entirely (the
+    edge relation is semi-joined to the vertex set on both endpoints):
+    a vertex that can never win must not be reported as a loser either.
     """
     require_columns(vertices, ("id",), "vertices")
     require_columns(edges, ("src", "dst"), "edges")
 
-    sym = symmetrize(edges)
+    vids = vertices.select("id")
+    sym = (
+        symmetrize(edges)
+        .join(vids.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(vids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    )
     if num_partitions:
         sym = partition_by(sym, num_partitions, "src", partitioner)
 
@@ -135,9 +149,15 @@ def maximal_independent_set(
             "id", F.lit(True).alias("in_mis"), F.lit(0).cast("long").alias("round")
         ).where(F.lit(False))
     if not halted:
-        # budget exhausted: report the remaining frontier as undecided
-        # (in_mis null would break the schema; callers check halted)
-        pass
+        # budget exhausted: the remaining frontier is still part of the
+        # contract — one row per vertex — marked undecided with NULLs
+        state = state.unionAll(
+            und.select(
+                "id",
+                F.lit(None).cast("boolean").alias("in_mis"),
+                F.lit(None).cast("long").alias("round"),
+            )
+        )
     state = state.localCheckpoint(eager=True)
     for part in decided_parts:
         free_local_checkpoint(part)

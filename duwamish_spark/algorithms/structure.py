@@ -100,30 +100,33 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     (u, v), of out-degree(u) against in-degree(v). One row:
     (m, sx, sy, sxy, sxx, syy, assortativity).
 
-    All six moments are EXACT integer sums (order-independent, so the
+    All six moments are EXACT sums (order-independent, so the
     shuffle/combine order can't perturb them — the aa_micro fixed-point
     discipline); the Pearson formula then runs once on the six scalars
     in a fixed operation order, making the double bit-reproducible and
     SQL-replayable. Degenerate variance (regular graph) returns 0.0 via
     an explicit guard rather than NaN.
 
-    Scale note: sums of degree products fit int64 while Σ x·y < 2^63 —
-    safe through ~10^12 edges with hub degrees ≤ ~10^5 after the
-    degree-ordered orientation; beyond that, pre-scale degrees or move
-    the moments to DOUBLE (order-dependent rounding, no longer exactly
-    oracle-able).
+    Scale note: the second moments accumulate as DECIMAL(38,0), not
+    BIGINT — at 10^12 edges with hub degrees ~10^5, Σ x·y reaches
+    ~10^22 ≫ 2^63 and a non-ANSI BIGINT sum would wrap silently.
+    DECIMAL(38,0) stays exact (and oracle-replayable) up to 10^38,
+    which covers Σ_u deg(u)³ for any graph whose edge count fits
+    in int64.
     """
     de = _distinct_directed(edges)
     outd = de.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
     ind = de.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
     j = de.join(outd, "src").join(ind, "dst")
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     agg = j.agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
     )
     md = F.col("m").cast("double")
     sx = F.col("sx").cast("double")

@@ -62,7 +62,14 @@ def hash_split(
     the content-keyed hash of ``key_col`` — default 98/1/1
     train/validation/test. Pure projection: no shuffle, no action,
     columnar whole-stage-codegen, and the assignment is independent of
-    partitioning/row order by construction."""
+    partitioning/row order by construction.
+
+    Rows with a NULL key are assigned to the FIRST split (train by
+    default), explicitly: md5(NULL) is NULL, so without the guard every
+    ``u < ub`` comparison is NULL and the CASE would fall through to the
+    LAST bucket — quietly leaking every keyless row into the eval set.
+    Landing them in train is the contamination-safe default; filter
+    NULLs upstream if they should not be trained on either."""
     weights = weights or {"train": 0.98, "validation": 0.01, "test": 0.01}
     u = _u32_of(F.col(key_col), salt)
     expr = None
@@ -72,6 +79,7 @@ def hash_split(
             expr = F.lit(name)  # last bucket: unconditional
         else:
             expr = F.when(u < F.lit(ub), F.lit(name)).otherwise(expr)
+    expr = F.when(F.col(key_col).isNull(), F.lit(bounds[0][0])).otherwise(expr)
     return df.withColumn("split", expr)
 
 
@@ -94,6 +102,12 @@ def stratified_sample(
     shuffle; expected output size Σ_s |s|·f_s with binomial variance
     (exact-quota sampling would need a per-stratum sort; at 10^12 rows
     the hash threshold is the scalable standard).
+
+    Rows with a NULL key are EXCLUDED, explicitly (``key IS NOT NULL``
+    in the filter): md5(NULL) is NULL so they could never deterministically
+    pass the threshold anyway — the explicit predicate makes the drop a
+    documented contract (mirrored in the DuckDB oracle) rather than a
+    three-valued-logic accident.
     """
     for s, f_ in fractions.items():
         if not 0.0 <= f_ <= 1.0:
@@ -107,4 +121,4 @@ def stratified_sample(
             F.col(strata_col) == F.lit(s),
             F.lit(int(fractions[s] * _U32_SPACE)),
         ).otherwise(thresh)
-    return df.where(u < thresh)
+    return df.where(F.col(key_col).isNotNull() & (u < thresh))

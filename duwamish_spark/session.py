@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # iterative workloads: keep plans from exploding and UI memory low
         .config("spark.ui.enabled", "false")
+        # progress bars interleave with stdout and have truncated the
+        # bench harness's final JSON line when its tail was captured
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -135,6 +135,23 @@ def test_clique_is_found_exactly(spark):
     free_local_checkpoint(res.state)
 
 
+def test_return_best_zero_rounds_is_collectable(spark):
+    # max_rounds=0 leaves best=None; the fallback state must be
+    # materialized BEFORE alive's localCheckpoint blocks are freed,
+    # otherwise this collect() hits unrecomputable freed blocks.
+    res = densest_subgraph(
+        spark, _edges_df(spark, CLIQUES), epsilon=0.125, max_rounds=0,
+        return_best=True,
+    )
+    got = {r["id"]: r["degree"] for r in res.state.collect()}
+    sym_deg = defaultdict(int)
+    for u, v in CLIQUES:
+        sym_deg[u] += 1
+        sym_deg[v] += 1
+    assert got == dict(sym_deg)
+    free_local_checkpoint(res.state)
+
+
 def test_rejects_negative_epsilon(spark):
     with pytest.raises(ValueError):
         densest_subgraph(spark, _edges_df(spark, CLIQUES), epsilon=-0.1)

@@ -64,6 +64,21 @@ def test_hash_split_rejects_bad_weights(spark):
         hash_split(df, "doc_id", {"a": 1.5, "b": -0.5})
 
 
+def test_null_keys_train_not_test(spark):
+    # md5(NULL) is NULL: without explicit guards a NULL-keyed row would
+    # fall through hash_split's CASE into the LAST bucket (test) and be
+    # silently dropped by stratified_sample's threshold predicate.
+    # Contract: hash_split → first split (train); stratified → excluded.
+    df = spark.createDataFrame(
+        [(None, "orphan", "en"), (1, "kept", "en")],
+        "doc_id long, text string, lang string",
+    )
+    splits = {r["text"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert splits["orphan"] == "train"
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 1.0}).collect()
+    assert [r["text"] for r in kept] == ["kept"]
+
+
 def test_stratified_sample_matches_reference_hash(spark):
     fr = {"en": 0.9, "de": 0.3}
     got = {
