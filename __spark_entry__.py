@@ -456,6 +456,17 @@ def q_lp_round3_shuffle(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3, strategy="shuffle").state
 
 
+def q_lp_round3_delta(spark, sf_dir):
+    """lp_round3 through the frontier/delta formulation (persistent
+    neighbor-label counts, only changed vertices emit +new/-old deltas)
+    — oracle-gated equivalence with the synchronous chained-CTE replay
+    (algorithms/labelprop.py label_propagation_delta)."""
+    from duwamish_spark.algorithms.labelprop import label_propagation_delta
+
+    v, e = _graph(spark, sf_dir)
+    return label_propagation_delta(spark, v, e, max_supersteps=3).state
+
+
 def q_triangles_per_vertex(spark, sf_dir):
     from duwamish_spark.algorithms.triangles import triangle_count_per_vertex
     from duwamish_spark.graph import vertices_from
@@ -1009,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_round1": q_lp_round1,
         "lp_round3": q_lp_round3,
         "lp_round3_shuffle": q_lp_round3_shuffle,
+        "lp_round3_delta": q_lp_round3_delta,
         # -- 3. flagship set --
         "graph_out_degree": q_out_degree,
         "pagerank_step1": q_pagerank_step1,
@@ -2126,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN (SELECT id, m FROM pick WHERE rn = 1) p ON p.id = v.id
         """,
         "lp_round3": _lp_chain_sql(3),
+        "lp_round3_delta": _lp_chain_sql(3),
         "lp_round3_shuffle": _lp_chain_sql(3),
         "triangles_per_vertex": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE},

@@ -196,6 +196,34 @@ def bench_sf1(spark, cpus: int) -> dict:
     n_comp = cc.state.agg(F.countDistinct("label")).collect()[0][0]
     q["connected_components"] = round(time.monotonic() - t0, 3)
     d["cc"] = {"rounds": cc.supersteps, "components": n_comp}
+
+    # round-4: the frontier/delta-LP message-economics evidence at scale —
+    # same labels, message volume bounded by the shrinking changed
+    # frontier (sync resends E_sym every round)
+    from duwamish_spark.algorithms import label_propagation
+    from duwamish_spark.algorithms.labelprop import label_propagation_delta
+
+    t0 = time.monotonic()
+    lp = label_propagation(
+        spark, verts, edges_e, max_supersteps=5, num_partitions=cpus, encode=False
+    )
+    lp.state.count()
+    q["label_propagation_5"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    lpd = label_propagation_delta(
+        spark, verts, edges_e, max_supersteps=5, num_partitions=cpus, encode=False
+    )
+    lpd.state.count()
+    q["label_propagation_5_delta"] = round(time.monotonic() - t0, 3)
+    d["lp_delta"] = {
+        "sync_msgs": sum(m["message_count"] for m in lp.metrics),
+        "delta_msgs": sum(m["message_count"] for m in lpd.metrics),
+        "label_mismatches": (
+            lp.state.join(lpd.state.withColumnRenamed("label", "dl"), "id")
+            .where(F.col("label") != F.col("dl"))
+            .count()
+        ),
+    }
     verts.unpersist()
     edges_e.unpersist()
 
@@ -341,6 +369,27 @@ def main() -> None:
     lp = label_propagation(spark, verts, edges, max_supersteps=5, num_partitions=cpus, encode=False)
     lp.state.count()
     queries["label_propagation_5"] = round(time.monotonic() - t0, 3)
+
+    # round-4: frontier/delta LP — identical labels, message volume
+    # bounded by the changed frontier instead of E_sym every round
+    from duwamish_spark.algorithms.labelprop import label_propagation_delta
+
+    t0 = time.monotonic()
+    lpd = label_propagation_delta(
+        spark, verts, edges, max_supersteps=5, num_partitions=cpus, encode=False
+    )
+    lpd.state.count()
+    queries["label_propagation_5_delta"] = round(time.monotonic() - t0, 3)
+    _mismatch = (
+        lp.state.join(lpd.state.withColumnRenamed("label", "dl"), "id")
+        .where(F.col("label") != F.col("dl"))
+        .count()
+    )
+    extra["lp_delta"] = {
+        "sync_msgs": sum(m["message_count"] for m in lp.metrics),
+        "delta_msgs": sum(m["message_count"] for m in lpd.metrics),
+        "label_mismatches": _mismatch,
+    }
 
     # community-quality gate on the LP labels (integer aggregation + one
     # fixed float expression — a few joins, detail-only)
@@ -659,8 +708,11 @@ def main() -> None:
         sample = emb.limit(1500).persist()
         sample.count()
         extra["knn_lsh_recall_n1500"] = {
+            # "default" IS the operator default since round 4 (6x16 —
+            # the measured-quality point); "fast" is the old 8x8 default,
+            # kept as the cheap-knob reference series
+            "default": knn_lsh_recall(sample, k=3, n_planes=6, n_tables=16),
             "fast": knn_lsh_recall(sample, k=3, n_planes=8, n_tables=8),
-            "quality": knn_lsh_recall(sample, k=3, n_planes=6, n_tables=16),
         }
 
         # IVF (k-means bucketed) — the other ANN scale path. Config tuned

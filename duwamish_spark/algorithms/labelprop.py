@@ -74,6 +74,176 @@ def _lp_step_broadcast(state: DataFrame, edges_sym: DataFrame) -> DataFrame:
     return _lp_combine_update(state, msgs)
 
 
+def label_propagation_delta(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_supersteps: int = 10,
+    num_partitions: int | None = None,
+    encode: bool = True,
+    run_id: str = "lp_delta",
+) -> PregelResult:
+    """Frontier/delta form of synchronous label propagation — IDENTICAL
+    labels to :func:`label_propagation` (same mode combine, same
+    smallest-label tie-break, same synchronous rounds), but message
+    volume proportional to the CHANGED frontier instead of E every round.
+
+    The sync formulation resends every label along every edge each round
+    because mode (unlike CC's min) is not monotone — a quiet vertex's
+    label still participates in its neighbors' votes. The delta
+    formulation keeps those votes as a persistent neighbor-label count
+    relation ``cnt(id, label, c)`` — the exact multiset of each vertex's
+    neighbors' current labels — so quiet vertices never resend:
+
+    - only vertices whose label changed last round emit count deltas
+      ``(+new, -old)`` along their edges (round 1: everyone emits its
+      init label, building ``cnt`` from scratch);
+    - a vertex none of whose neighbors changed has an untouched multiset,
+      hence an unchanged mode — it is skipped entirely (not recomputed);
+    - affected vertices recompute mode from the updated counts with the
+      same ``min_by(label, struct(-c, label))`` tie-break.
+
+    Scale shape: the per-round shuffle is O(frontier-degree) messages +
+    one keyed merge of the O(E)-bounded count relation (both sides
+    hash-partitioned on (id, label), so the merge reuses partitioning
+    instead of re-exchanging the big side). Deltas cost TWO messages per
+    frontier-incident edge (+new/-old), so a round is cheaper than sync
+    exactly when the frontier touches < E/2 edges — i.e. from round ~3
+    on, where label propagation's frontier collapses geometrically;
+    while the frontier is still everyone (round 2) delta pays up to 2x.
+    Measured crossover + totals in BENCH_r04 (`lp_delta` entries).
+    Memory: ``cnt`` ≤ one row per (vertex, distinct neighbor label)
+    ≤ E rows, localCheckpointed per round with the standard
+    two-generation block retirement.
+    """
+    mapping = None
+    verts, e = vertices, edges
+    if encode:
+        mapping, verts, e = prepare_encoding(
+            spark, vertices, edges, num_partitions, None, run_id, False
+        )
+
+    edges_sym = symmetrize(e)
+    if num_partitions:
+        edges_sym = edges_sym.repartition(num_partitions, "src")
+    edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
+    n_edge_rows = edges_sym.count()
+
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    # round-0 state: own id; counts = full neighbor-id multiset (what a
+    # first all-vertices "+init label" delta round would build)
+    state = verts.select(
+        "id", F.col("id").alias("label"), F.col("id").alias("_prev"),
+        F.lit(1).alias("_changed"),
+    ).localCheckpoint(eager=True)
+    cnt = (
+        edges_sym.groupBy(F.col("dst").alias("id"), F.col("src").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    metrics_hist: list[dict] = []
+    halted = False
+    rounds = 0
+    n_changed = state.count()  # round 0: all vertices
+    first = True
+
+    for t in range(1, max_supersteps + 1):
+        if n_changed == 0:
+            halted = True
+            break
+        rounds = t
+        frontier = state.where(F.col("_changed") == 1)
+        fe = frontier.hint("shuffle_hash").join(
+            edges_sym, frontier["id"] == edges_sym["src"]
+        )
+        if first:
+            # init round: counts are already the +label multiset; the
+            # "delta" is the whole relation, affected = every vertex
+            deltas = cnt
+            n_msgs = n_edge_rows
+            first = False
+        else:
+            # edge-message volume must be counted while the PREVIOUS
+            # state's checkpoint blocks (fe's lineage) are still alive
+            n_msgs = 2 * fe.count()
+            d = fe.select(
+                "dst",
+                F.explode(
+                    F.array(
+                        F.struct(F.col("label").alias("l"), F.lit(1).cast("long").alias("dc")),
+                        F.struct(F.col("_prev").alias("l"), F.lit(-1).cast("long").alias("dc")),
+                    )
+                ).alias("x"),
+            ).select(F.col("dst").alias("id"), F.col("x.l").alias("label"), F.col("x.dc").alias("dc"))
+            dagg = d.groupBy("id", "label").agg(F.sum("dc").alias("dc"))
+            merged = (
+                cnt.hint("shuffle_hash")
+                .join(dagg, ["id", "label"], "full_outer")
+                .select(
+                    "id", "label",
+                    (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("c"),
+                )
+                .where(F.col("c") > 0)
+                .localCheckpoint(eager=True)
+            )
+            free_local_checkpoint(cnt)
+            cnt = merged
+            deltas = dagg
+
+        affected = deltas.select("id").distinct()
+        mode = (
+            cnt.join(affected, "id", "left_semi")
+            .groupBy("id")
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("mlabel"),
+                F.sum("c").alias("mc"),
+            )
+        )
+        nxt = (
+            state.join(mode.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("mlabel", "label").alias("label"),
+                F.col("label").alias("_prev"),
+                F.when(F.coalesce("mlabel", "label") != F.col("label"), 1)
+                .otherwise(0)
+                .alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(state)
+        state = nxt
+        row = state.agg(
+            F.sum("_changed").alias("ch"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        n_changed = int(row["ch"] or 0)
+        metrics_hist.append(
+            {
+                "superstep": t,
+                "changed": n_changed,
+                "message_count": int(n_msgs),
+                "vertex_count": int(row["n"]),
+            }
+        )
+
+    res = PregelResult(
+        state=state.select("id", "label"),
+        supersteps=rounds,
+        metrics=metrics_hist,
+        halted=halted,
+        run_id=run_id,
+    )
+    edges_sym.unpersist()
+    if mapping is not None:
+        res.state = decode_state(res.state, mapping, ("id", "label"))
+    return res
+
+
 def label_propagation(
     spark: SparkSession,
     vertices: DataFrame,

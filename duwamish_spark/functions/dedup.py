@@ -53,6 +53,36 @@ def shingles(
     return sh.select("id", F.xxhash64("shingle").alias("sh")).distinct()
 
 
+def _shingle_hashes(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, sh) — k-token shingle hashes, NON-distinct, hashed straight
+    off the token-slice array (no intermediate string build).
+
+    The minhash pipeline's private fast path: min-aggregation is
+    idempotent over duplicate shingle rows and ``collect_set`` dedups in
+    the verify stage, so the O(shingles) distinct shuffle that the
+    public :func:`shingles` contract requires is pure cost here
+    (measured at SF=1: distinct + string building were ~2/3 of the
+    shingle stage). ``xxhash64(array<string>)`` folds elements
+    sequentially (order-sensitive) and tokens cannot contain
+    whitespace, so hash identity matches the string form's
+    distinctness: same shingle set sizes, same Jaccard values.
+    """
+    from duwamish_spark.functions.text import tokens_col
+
+    toks = docs.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("t"))
+    return toks.where(F.size("t") > 0).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(0))),
+                lambda i: F.xxhash64(F.slice("t", i + 1, k)),
+            )
+        ).alias("sh"),
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = 32, seed: int = 7
 ) -> DataFrame:
@@ -83,16 +113,67 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 7,
+    pre_dedup: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — near-duplicate pairs with verified Jaccard ≥ threshold.
 
     LSH banding proposes candidates (same band hash in any band); exact
     Jaccard over shingle sets verifies. id_a < id_b.
+
+    The verify stage joins each candidate pair against COMPACT per-doc
+    shingle-set arrays and intersects them JVM-side (``array_intersect``,
+    hash-set O(|A|+|B|) per pair) — one row per candidate pair, instead
+    of expanding every pair into its full shingle rows (measured 10x on
+    the SF=1 bench corpus, where the row-expansion form shuffled ~550M
+    rows for 4.8M candidates). Exactness is unchanged: the arrays ARE
+    the distinct shingle-hash sets.
+
+    ``pre_dedup=True`` (default) collapses byte-identical texts to one
+    representative BEFORE shingling and expands group members back into
+    the result afterwards — output is IDENTICAL (Jaccard is a pure
+    function of text, and within-group pairs are Jaccard 1.0 whenever
+    the text has ≥1 shingle), but the LSH + verify stages run on
+    distinct texts only. This is the decisive scale lever on real
+    corpora: exact duplicates are the single hottest band-bucket source
+    (every member of a duplicate group collides in EVERY band, an
+    inherently quadratic candidate set the banding cannot prune).
+
+    ``max_shingle_df`` (opt-in): exclude shingles appearing in more than
+    this many documents from the SIGNATURES (and hence the banding) —
+    boilerplate shingles ("import os"-class) otherwise dominate the
+    minhashes of short documents and weld them into enormous band
+    buckets whose C(n,2) candidate sets are the pipeline's only
+    quadratic term. Verification still runs on the FULL shingle sets,
+    so every emitted pair carries its exact Jaccard; the cost is
+    recall on pairs whose overlap is carried ONLY by pruned
+    boilerplate (measured in the bench: `minhash_df_pruned_recall`).
+    A document all of whose shingles are pruned leaves the candidate
+    stage entirely (same as an empty-token document). With
+    ``pre_dedup=True`` the df is counted over distinct texts, which is
+    the meaningful denominator (a million byte-identical copies are one
+    text, not a million df).
     """
+    if pre_dedup:
+        return _minhash_near_dups_pre_dedup(
+            docs, k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
+            id_col=id_col, text_col=text_col, seed=seed,
+            max_shingle_df=max_shingle_df,
+        )
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sh = shingles(docs, k, id_col, text_col).persist()
-    sig = minhash_signatures(sh, n_hashes, seed)
+    sh = _shingle_hashes(docs, k, id_col, text_col).persist()
+    if max_shingle_df is not None:
+        hot = (
+            sh.distinct()
+            .groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        sig_input = sh.join(hot, "sh", "left_anti")
+    else:
+        sig_input = sh
+    sig = minhash_signatures(sig_input, n_hashes, seed)
 
     banded = sig.select(
         "id",
@@ -124,17 +205,20 @@ def minhash_near_dups(
         .distinct()
     )
 
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .where(F.col("sh") == F.col("sh_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # verify on compact per-doc shingle-set arrays: one row per candidate
+    # pair, intersection JVM-side — never the pair x shingle-row expansion
+    sets = sh.groupBy("id").agg(F.collect_set("sh").alias("ss"))
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        cands
+        .join(sets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("ss").alias("ss_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ss_a", "ss_b")).alias("inter"),
+            F.size("ss_a").alias("sz_a"),
+            F.size("ss_b").alias("sz_b"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -143,6 +227,80 @@ def minhash_near_dups(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def _minhash_near_dups_pre_dedup(
+    docs: DataFrame,
+    *,
+    k: int,
+    n_hashes: int,
+    bands: int,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    seed: int,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """minhash_near_dups over text-distinct representatives, expanded back
+    to the full id space. Output-equivalent to the direct pipeline:
+
+    - Jaccard is a pure function of the text, so any member pair across
+      two groups has exactly the representatives' Jaccard;
+    - within a group every pair is Jaccard 1.0, and the direct pipeline
+      emits those pairs iff the text has ≥1 shingle (empty-token docs
+      produce no signature and are never banded) and 1.0 ≥ threshold —
+      both conditions are replicated below.
+
+    All expansion joins are keyed on the group id; nothing quadratic
+    beyond the output itself.
+    """
+    from duwamish_spark.functions.text import tokens_col
+
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("gid"),
+    )
+    members = keyed.select("gid", "id")
+    reps = keyed.groupBy("gid").agg(
+        F.min("id").alias("id"), F.min("text").alias("text")
+    )
+
+    rep_pairs = minhash_near_dups(
+        reps, k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
+        id_col="id", text_col="text", seed=seed, pre_dedup=False,
+        max_shingle_df=max_shingle_df,
+    )
+
+    rep_gid = reps.select(F.col("id").alias("rid"), F.col("gid").alias("rgid"))
+    cross = (
+        rep_pairs
+        .join(rep_gid.withColumnRenamed("rid", "id_a").withColumnRenamed("rgid", "gid_a"), "id_a")
+        .join(rep_gid.withColumnRenamed("rid", "id_b").withColumnRenamed("rgid", "gid_b"), "id_b")
+        .join(members.select(F.col("gid").alias("gid_a"), F.col("id").alias("ma")), "gid_a")
+        .join(members.select(F.col("gid").alias("gid_b"), F.col("id").alias("mb")), "gid_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+    if threshold <= 1.0:
+        shingled = reps.where(F.size(tokens_col("text")) > 0).select("gid")
+        wm = members.join(shingled, "gid")
+        within = (
+            wm.alias("x")
+            .join(wm.alias("y"), "gid")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionAll(within)
+    return cross
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -53,7 +53,7 @@ def knn_cosine(
     *,
     strategy: str = "auto",
     lsh_threshold: int = AUTO_LSH_THRESHOLD,
-    n_planes: int = 8,
+    n_planes: int = 6,
     dim: int = 64,
     seed: int = 11,
     n_rows: int | None = None,
@@ -149,16 +149,24 @@ def lsh_buckets(
 def knn_cosine_lsh(
     emb: DataFrame,
     k: int = 3,
-    n_planes: int = 8,
+    n_planes: int = 6,
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_tables: int = 8,
+    n_tables: int = 16,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket in at
     least one of ``n_tables`` tables (candidates deduped before scoring,
-    so each pair's exact cosine is computed once)."""
+    so each pair's exact cosine is computed once).
+
+    Default config is the MEASURED-quality point, not the cheapest one:
+    on deliberately hard weakly-clustered embeddings (top-3 neighbors at
+    cosine 0.25-0.51) 6 planes x 16 tables measures recall ~0.62 at
+    ~0.23 candidate fraction, where the previous 8x8 default measured
+    0.16 at 0.04 (bench: knn_lsh_recall_n1500). Callers chasing
+    throughput on clustered embeddings can still pass the cheaper
+    knobs explicitly."""
     buckets = lsh_buckets(emb, n_planes, seed, id_col, vec_col, dim, n_tables)
     ba = buckets.select(F.col("id").alias("vec_id"), "table", "bucket")
     bb = buckets.select(F.col("id").alias("neighbor_id"), "table", "bucket")

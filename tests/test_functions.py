@@ -58,6 +58,43 @@ def test_minhash_near_dups_vs_python_jaccard(spark):
         assert j == pytest.approx(_py_jaccard(texts[a], texts[b]), abs=1e-9)
 
 
+def test_minhash_pre_dedup_output_identical(spark):
+    # pre_dedup collapses exact duplicates before the LSH pipeline and
+    # expands members back — the result set must be IDENTICAL to the
+    # direct pipeline, including: dup groups >2 members, empty-token
+    # duplicate docs (no shingles -> never banded -> NO within-group
+    # pair in either path), and cross-group member fan-out.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the bank"),
+            (3, "the quick brown fox jumps over the lazy dog near the bank"),
+            (4, "the quick brown fox leaps over the lazy dog near the bank"),
+            (5, "totally unrelated text about spark shuffle partitions"),
+            (6, "   "),
+            (7, "   "),
+            (8, ""),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(threshold=0.2, n_hashes=16, bands=4)
+    direct = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups(docs, pre_dedup=False, **kw).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups(docs, pre_dedup=True, **kw).collect()
+    }
+    assert set(direct) == set(pre)
+    for p in direct:
+        assert pre[p] == pytest.approx(direct[p], abs=1e-12)
+    # sanity: the dup triple is all-pairs 1.0; empty docs appear nowhere
+    for p in ((1, 2), (1, 3), (2, 3)):
+        assert pre[p] == pytest.approx(1.0)
+    assert not any(6 in p or 7 in p or 8 in p for p in pre)
+
+
 def test_simhash_identical_docs_equal(spark):
     out = {r["id"]: r["simhash"] for r in simhash64(_docs_df(spark)).collect()}
     assert out[1] == out[4]

@@ -4,6 +4,7 @@ import pytest
 
 from conftest import edges_df, vertices_df
 from duwamish_spark.algorithms import label_propagation
+from duwamish_spark.algorithms.labelprop import label_propagation_delta
 from oracle import lp_oracle, rand_graph
 
 TWO_TRIANGLES = [
@@ -58,3 +59,61 @@ def test_salt_and_raw_combine_invariant(spark):
     assert labels(salt=8) == plain
     assert labels(combine="raw") == plain
     assert labels(salt=8, combine="raw") == plain
+
+
+@pytest.mark.parametrize("v,maxdeg,seed,rounds", [(200, 4, 8, 5), (300, 8, 9, 10)])
+def test_delta_matches_sync_exactly(spark, v, maxdeg, seed, rounds):
+    # the delta/frontier formulation must reproduce the synchronous
+    # semantics bit-for-bit: same mode, same smallest-label tie-break,
+    # same round count
+    ids, edges = rand_graph(v, maxdeg, seed)
+    want = lp_oracle(ids, edges, rounds=rounds)
+    res = label_propagation_delta(
+        spark, vertices_df(spark, ids), edges_df(spark, edges),
+        max_supersteps=rounds,
+    )
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got == want
+
+
+def test_delta_message_volume_collapses_with_frontier(spark):
+    # two triangles converge after round 2; the delta form's message
+    # volume must drop to 0 with the frontier while the sync form would
+    # keep resending all E messages every round
+    ids = list("abcdef")
+    res = label_propagation_delta(
+        spark, vertices_df(spark, ids), edges_df(spark, TWO_TRIANGLES),
+        max_supersteps=10,
+    )
+    sync = label_propagation(
+        spark, vertices_df(spark, ids), edges_df(spark, TWO_TRIANGLES),
+        max_supersteps=10,
+    )
+    assert {r["id"]: r["label"] for r in res.state.collect()} == {
+        r["id"]: r["label"] for r in sync.state.collect()
+    }
+    assert res.halted
+    msgs = [m["message_count"] for m in res.metrics]
+    changed = [m["changed"] for m in res.metrics]
+    # deterministic series: round 1 = full E init (12); round 2's
+    # frontier is ALL vertices so deltas cost 2/edge (24 — delta pays up
+    # to 2x sync while the frontier is wide); round 3's frontier is the
+    # 2 remaining changed vertices -> 2 verts x 2 edges x 2 = 8, then 0
+    # changed halts. The sync form would have sent 12 every round.
+    assert msgs == [12, 24, 8]
+    assert changed == [6, 2, 0]
+
+
+def test_delta_isolated_vertex_keeps_label(spark):
+    # a-b 2-cycles under synchronous LP (labels swap each round) — the
+    # delta form must reproduce that exactly, not smooth it out; the
+    # isolated vertex z never hears anything and keeps its own label
+    ids = ["a", "b", "z"]
+    for rounds in (1, 2, 3):
+        res = label_propagation_delta(
+            spark, vertices_df(spark, ids), edges_df(spark, [("a", "b")]),
+            max_supersteps=rounds,
+        )
+        got = {r["id"]: r["label"] for r in res.state.collect()}
+        assert got == lp_oracle(ids, [("a", "b")], rounds=rounds)
+        assert got["z"] == "z"
