@@ -9,6 +9,8 @@ shuffles only bucket collisions, never all pairs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -103,6 +105,26 @@ def minhash_signatures(
     )
 
 
+def _est_gate_min_matches(
+    n_hashes: int, rows_per_band: int, threshold: float, eps: float = 0.01
+) -> int:
+    """Smallest signature-match gate m such that a candidate pair whose
+    TRUE Jaccard equals the threshold fails `matches >= m` with
+    conditional probability ≤ eps, given that it collided in one band
+    (i.e. already agrees on rows_per_band hashes; the other
+    n_hashes − rows_per_band positions match i.i.d. with probability J).
+    Exact binomial CDF — no normal approximation, these n are small."""
+    n = n_hashes - rows_per_band
+    cdf, k = 0.0, 0
+    for i in range(n + 1):
+        p = math.comb(n, i) * threshold**i * (1.0 - threshold) ** (n - i)
+        if cdf + p > eps:
+            break
+        cdf += p
+        k = i + 1
+    return rows_per_band + k
+
+
 def minhash_near_dups(
     docs: DataFrame,
     *,
@@ -115,19 +137,28 @@ def minhash_near_dups(
     seed: int = 7,
     pre_dedup: bool = True,
     max_shingle_df: int | None = None,
+    bucket_split: int = 8,
+    est_eps: float | None = 0.01,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — near-duplicate pairs with verified Jaccard ≥ threshold.
 
     LSH banding proposes candidates (same band hash in any band); exact
     Jaccard over shingle sets verifies. id_a < id_b.
 
-    The verify stage joins each candidate pair against COMPACT per-doc
-    shingle-set arrays and intersects them JVM-side (``array_intersect``,
-    hash-set O(|A|+|B|) per pair) — one row per candidate pair, instead
-    of expanding every pair into its full shingle rows (measured 10x on
-    the SF=1 bench corpus, where the row-expansion form shuffled ~550M
-    rows for 4.8M candidates). Exactness is unchanged: the arrays ARE
-    the distinct shingle-hash sets.
+    The verify stage is two-staged: candidate pairs are first pruned
+    against tiny per-doc metadata (an EXACT size-ratio bound plus, in
+    probabilistic-banding configs only, a minhash-estimate gate on the
+    already-computed signatures — see the inline comment for the loss
+    analysis), and only survivors fetch the COMPACT per-doc shingle-set
+    arrays for the exact JVM-side intersection (``array_intersect``,
+    hash-set O(|A|+|B|) per pair) — never the pair x shingle-row
+    expansion (which measured 10x slower at 100k docs, shuffling ~550M
+    rows for 4.8M candidates). The emitted Jaccard is always exact.
+
+    ``est_eps`` sets the signature-estimate gate's conditional
+    false-negative budget at the threshold (default 1%; ``None``
+    disables the gate entirely, leaving only the exact filters — used
+    by the bench to measure the gate's realized recall).
 
     ``pre_dedup=True`` (default) collapses byte-identical texts to one
     representative BEFORE shingling and expands group members back into
@@ -158,7 +189,8 @@ def minhash_near_dups(
         return _minhash_near_dups_pre_dedup(
             docs, k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
             id_col=id_col, text_col=text_col, seed=seed,
-            max_shingle_df=max_shingle_df,
+            max_shingle_df=max_shingle_df, bucket_split=bucket_split,
+            est_eps=est_eps,
         )
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
@@ -175,39 +207,123 @@ def minhash_near_dups(
         sig_input = sh
     sig = minhash_signatures(sig_input, n_hashes, seed)
 
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ":",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bh")
-    cands = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bh"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
-
-    # verify on compact per-doc shingle-set arrays: one row per candidate
-    # pair, intersection JVM-side — never the pair x shingle-row expansion
+    # Candidate generation with the prefilter pushed INSIDE the bucket
+    # self-join. Each banded row carries its doc's shingle-set SIZE and
+    # full minhash signature (~17 extra longs on a V·bands-row relation —
+    # negligible), so the join's non-equi predicates prune pairs in the
+    # merge loop BEFORE any pair row is materialized or shuffled:
+    #   (a) size-ratio — EXACT, never drops a true pair: J(A,B) =
+    #       |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so min < t·max
+    #       cannot reach threshold t;
+    #   (b) signature-estimate gate (only when rows_per_band ≥ 2, i.e.
+    #       the banding itself is already probabilistic): a banded pair
+    #       already agrees on one band's rows_per_band hashes, so its
+    #       remaining n_hashes−rpb positions are Binomial(n−rpb, J)
+    #       matches; the gate requires the smallest total m for which a
+    #       true pair AT the threshold fails with conditional
+    #       probability ≤ 1% (exact binomial CDF, see
+    #       _est_gate_min_matches) — 9/16 at the (16, 4, t=0.7) bench
+    #       config, ~30x below the banding's own miss rate
+    #       (1−t^rpb)^bands ≈ 0.33 there, and measured in the bench as
+    #       `minhash_prefilter_recall`. Recall-1 configurations
+    #       (rows_per_band == 1, the oracle path) never apply (b), so
+    #       their exact-equality contract with the n-gram Jaccard
+    #       relation is untouched.
+    # Why inline instead of join-then-filter: measured at SF=1 unpruned,
+    # banding yields 260.6M candidate pairs (hottest boilerplate bucket:
+    # 18,619 docs ⇒ 173M pairs from ONE key). A materialize-then-filter
+    # plan shuffles that relation 4x (distinct + two metadata joins) and
+    # GC-killed a 48g JVM; inline predicates leave only the tiny
+    # survivor set to exit the join. The hot bucket still costs its
+    # C(n,2) predicate evaluations inside the join loop — O(n_hashes)
+    # longs each, no allocation — which is the irreducible cost of an
+    # LSH collision, not of this plan.
     sets = sh.groupBy("id").agg(F.collect_set("sh").alias("ss"))
+    if est_eps is not None:
+        min_matches = _est_gate_min_matches(
+            n_hashes, rows_per_band, threshold, est_eps
+        )
+        est_gate = rows_per_band >= 2 and min_matches > rows_per_band
+    else:
+        est_gate = False
+    banded = (
+        sig.join(sets.select("id", F.size("ss").alias("sz")), "id")
+        .select(
+            "id",
+            "sz",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ":",
+                                    *[
+                                        F.col("sig")[b * rows_per_band + r]
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "sz", "sig", "bk.band", "bk.bh")
+    )
+    # Grid-blocked self-join: every row is replicated into `bucket_split`
+    # grid cells per side — x-side to (own_group, j) for all j, y-side to
+    # (i, own_group) for all i — and the join keys on (band, bh, c1, c2).
+    # An unordered pair {a,b} in one bucket meets in exactly two cells,
+    # (g_a,g_b) with x=a and (g_b,g_a) with x=b, and the id_a < id_b
+    # predicate keeps exactly one, so the output relation is IDENTICAL to
+    # the plain self-join (exact for the recall-1 oracle path too). The
+    # point is hot-bucket parallelism: AQE's skew split works on partition
+    # BYTES and cannot split a single join key, so the SF=1 corpus's
+    # hottest bucket (18,619 docs ⇒ 173M pair evaluations, 3MB of input)
+    # ran as ONE task; the grid spreads each bucket over
+    # bucket_split² cells at the cost of replicating the small banded
+    # relation bucket_split times per side.
+    g = int(bucket_split)
+    grp = F.pmod(F.xxhash64(F.col("id")), F.lit(g)).cast("int")
+    cells = F.sequence(F.lit(0), F.lit(g - 1))
+    bx = banded.select(
+        "band", "bh", grp.alias("c1"), F.explode(cells).alias("c2"),
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"), F.col("sig").alias("sig_a"),
+    )
+    by = banded.select(
+        "band", "bh", F.explode(cells).alias("c1"), grp.alias("c2"),
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"), F.col("sig").alias("sig_b"),
+    )
+    surv = (
+        bx.join(by, ["band", "bh", "c1", "c2"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.least("sz_a", "sz_b") >= threshold * F.greatest("sz_a", "sz_b"))
+    )
+    if est_gate:
+        # UNROLLED scalar comparisons, not zip_with: higher-order array
+        # functions are CodegenFallback (interpreted, one allocation per
+        # evaluation) — inside a hot bucket's C(n,2)-pair join loop that
+        # interpreted path GC-froze the driver JVM until its executors
+        # heartbeat-timed out. n_hashes is a plan-time constant, so the
+        # match count compiles to n_hashes branch-free array reads.
+        est = sum(
+            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+            for i in range(n_hashes)
+        )
+        surv = surv.where(est >= min_matches)
+    cands = surv.select("id_a", "id_b", "sz_a", "sz_b").distinct()
+
+    # Exact verify: fetch the full shingle-set arrays ONLY for surviving
+    # pairs and intersect JVM-side (array_intersect, one row per pair —
+    # never the pair x shingle-row expansion). The emitted Jaccard is
+    # exact; stage-1 pruning only ever removes pairs that cannot (a) or
+    # almost surely do not (b) reach the threshold.
     out = (
         cands
         .join(sets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a")), "id_a")
@@ -216,8 +332,8 @@ def minhash_near_dups(
             "id_a",
             "id_b",
             F.size(F.array_intersect("ss_a", "ss_b")).alias("inter"),
-            F.size("ss_a").alias("sz_a"),
-            F.size("ss_b").alias("sz_b"),
+            "sz_a",
+            "sz_b",
         )
         .select(
             "id_a",
@@ -240,6 +356,8 @@ def _minhash_near_dups_pre_dedup(
     text_col: str,
     seed: int,
     max_shingle_df: int | None = None,
+    bucket_split: int = 8,
+    est_eps: float | None = 0.01,
 ) -> DataFrame:
     """minhash_near_dups over text-distinct representatives, expanded back
     to the full id space. Output-equivalent to the direct pipeline:
@@ -269,7 +387,8 @@ def _minhash_near_dups_pre_dedup(
     rep_pairs = minhash_near_dups(
         reps, k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
         id_col="id", text_col="text", seed=seed, pre_dedup=False,
-        max_shingle_df=max_shingle_df,
+        max_shingle_df=max_shingle_df, bucket_split=bucket_split,
+        est_eps=est_eps,
     )
 
     rep_gid = reps.select(F.col("id").alias("rid"), F.col("gid").alias("rgid"))

@@ -51,7 +51,11 @@ def get_spark(
         # bench harness's final JSON line when its tail was captured
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local-mode executors share the driver JVM: at local[32] the old
+        # 16g default was 0.5g per task slot, which OOMs wide-relation
+        # joins at SF>=1 (a cluster would give each core 2-8g). 48g on
+        # the 128GiB sandbox = 1.5g/slot; -Xmx is a cap, not a commit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
