@@ -178,7 +178,9 @@ def minhash_near_dups(
     quadratic term. Verification still runs on the FULL shingle sets,
     so every emitted pair carries its exact Jaccard; the cost is
     recall on pairs whose overlap is carried ONLY by pruned
-    boilerplate (measured in the bench: `minhash_df_pruned_recall`).
+    boilerplate — measured at 0.46 on the SF=1 bench corpus's 100k
+    sample at df>1000 (docs/PLANS.md), which is exactly why this is
+    opt-in and NOT the scale path (the in-join prefilters are).
     A document all of whose shingles are pruned leaves the candidate
     stage entirely (same as an empty-token document). With
     ``pre_dedup=True`` the df is counted over distinct texts, which is
