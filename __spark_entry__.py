@@ -953,6 +953,50 @@ def q_minhash_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+_CHUNK_W = 8
+
+
+def _chunked_docs(spark, sf_dir):
+    """documents with line structure synthesized deterministically: the
+    whitespace tokens re-joined into newline-separated 8-token chunks.
+
+    The driver's documents table is single-line word soup, so line-shaped
+    operators (repetition stats, paragraph dedup) would be vacuous on it;
+    chunking gives them real work (the corpus's heavy shared boilerplate
+    makes 8-token runs collide across documents) while staying exactly
+    SQL-replayable. pytest covers the operators on genuinely multi-line
+    fixtures."""
+    from duwamish_spark.functions import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    w = tokens_col("text")
+    nch = F.ceil(F.size(w) / F.lit(float(_CHUNK_W))).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, (i * _CHUNK_W + 1).cast("int"), _CHUNK_W)),
+    )
+    return docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.concat_ws("\n", paras).alias("text")
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (dup-line fractions + top word-2-gram
+    count share) over the chunked documents."""
+    from duwamish_spark.functions import repetition_stats
+
+    return repetition_stats(_chunked_docs(spark, sf_dir))
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style cross-document paragraph dedup over the chunked
+    documents: keep the globally first copy of every distinct paragraph,
+    reassemble each document from its kept paragraphs."""
+    from duwamish_spark.functions import paragraph_dedup
+
+    return paragraph_dedup(_chunked_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -985,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The 18 rotated past position 50 are long-stable graph ops with
     # green r3 rows and untouched code this round.
     return {
+        # -- 0. new in round 4 (never driver-checked) --
+        "repetition_stats": q_repetition_stats,
+        "paragraph_dedup": q_paragraph_dedup,
         # -- 1. no r3 row (tfidf_top3/doc_split/stratified_sample/
         #       contamination never driver-checked in any round) --
         "tfidf_top3": q_tfidf_top3,
@@ -1038,8 +1085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "recommend_round4": q_recommend_round4,
         "recommend_round4_broadcast": q_recommend_round4_broadcast,
-        "dedup_exact": q_dedup_exact,
+        # token_stats outranks dedup_exact for the last in-window slot:
+        # its newest green row is r2, dedup_exact's is r3
         "token_stats": q_token_stats,
+        "dedup_exact": q_dedup_exact,
         # -- rotated past the ~50-entry window this round (r3-green,
         #    code untouched in round 4) --
         "kcore_converged": q_kcore_converged,
@@ -1633,6 +1682,64 @@ def _closeness_chain_sql(h: int, m: int) -> str:
     )
 
 
+# shared by the repetition/paragraph oracles: trim+whitespace-split the
+# document, re-chunk into 8-token newline "paragraphs" (mirrors
+# _chunked_docs; DuckDB list slices are 1-based inclusive and truncate at
+# the array end exactly like Spark's slice)
+_CHUNK_CTES = r"""
+d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0),
+ch AS (SELECT doc_id, i AS pos,
+              array_to_string(arr[(i-1)*8+1:(i-1)*8+8], ' ') AS para
+       FROM (SELECT doc_id, arr,
+                    unnest(generate_series(1, cast(ceil(len(arr)/8.0) AS BIGINT))) AS i
+             FROM d))
+"""
+
+
+def _repetition_stats_sql() -> str:
+    return f"""
+        WITH {_CHUNK_CTES},
+        pl AS (SELECT doc_id, para, count(*) AS c, length(para) AS len
+               FROM ch GROUP BY doc_id, para),
+        la AS (SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                      round(sum(c - 1) * 1.0 / sum(c), 6) AS dup_line_frac,
+                      round(sum((c - 1) * len) * 1.0 / sum(c * len), 6)
+                          AS dup_line_char_frac
+               FROM pl GROUP BY doc_id),
+        g AS (SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS gram
+              FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+                    FROM d WHERE len(arr) >= 2)),
+        pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        ga AS (SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+                      round(max(c) * 1.0 / sum(c), 6) AS top_ngram_frac
+               FROM pg GROUP BY doc_id)
+        SELECT la.doc_id, la.n_lines, la.dup_line_frac, la.dup_line_char_frac,
+               coalesce(ga.n_ngrams, 0)::BIGINT AS n_ngrams,
+               coalesce(ga.top_ngram_frac, 0.0) AS top_ngram_frac
+        FROM la LEFT JOIN ga ON ga.doc_id = la.doc_id
+    """
+
+
+def _paragraph_dedup_sql() -> str:
+    return f"""
+        WITH {_CHUNK_CTES},
+        k AS (SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) AS rn
+              FROM ch),
+        kept AS (SELECT doc_id, pos, para FROM k WHERE rn = 1),
+        outp AS (SELECT doc_id,
+                        string_agg(para, chr(10) ORDER BY pos) AS text_clean,
+                        count(*)::BIGINT AS n_kept
+                 FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*)::BIGINT AS n_paras FROM ch GROUP BY doc_id)
+        SELECT tot.doc_id, coalesce(outp.text_clean, '') AS text_clean,
+               tot.n_paras, coalesce(outp.n_kept, 0)::BIGINT AS n_kept
+        FROM tot LEFT JOIN outp ON outp.doc_id = tot.doc_id
+    """
+
+
 def _doc_split_sql() -> str:
     """Replays hash_split's integer-threshold assignment; bounds come
     from the SAME split_thresholds() the engine uses."""
@@ -2184,6 +2291,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
+        "repetition_stats": _repetition_stats_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
         "token_stats": f"""
             WITH {tok_cte}
             SELECT doc_id, count(*) AS n_tokens, round(avg(length(tok)), 6) AS avg_token_len

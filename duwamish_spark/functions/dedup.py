@@ -771,3 +771,56 @@ def benchmark_contamination(
             ).alias("share_ratio"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document paragraph-level exact dedup (the CCNet / CommonCrawl
+    cleaning pass, Wenzek et al. 2020 §3: drop every later copy of a
+    paragraph that appears anywhere else in the corpus).
+
+    A paragraph is a ``sep``-delimited segment; empty / whitespace-only
+    segments are dropped (whitespace normalization). The kept copy of each
+    distinct paragraph is the globally FIRST occurrence under the total
+    order (id, position) — deterministic across runs and partitionings.
+
+    Returns (id, text_clean, n_paras, n_kept): the reassembled document
+    (kept paragraphs in original order, ``sep``-joined; "" when every
+    paragraph was a later copy), the original non-empty paragraph count,
+    and the kept count.
+
+    Plan shape at 100 TB: the keeper per distinct paragraph is a
+    groupBy-min over struct(id, pos) — partial-aggregated map-side, so a
+    boilerplate paragraph welded into 10^8 documents combines down to one
+    row per map task instead of sorting 10^8 rows in one window partition
+    (why this is NOT row_number over para). The min struct IS the kept
+    instance, so no join back is needed; reassembly is one more doc-keyed
+    groupBy. Three linear shuffles total, no window, no skew cliff.
+    """
+    p = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.length(F.trim("para")) > 0)
+    kept = p.groupBy("para").agg(F.min(F.struct("id", "pos")).alias("k"))
+    reassembled = kept.select(F.col("k.id").alias("id"), F.col("k.pos").alias("pos"), "para") \
+        .groupBy("id").agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    totals = p.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(reassembled, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )

@@ -210,3 +210,75 @@ def tfidf_top_terms(
         .where(F.col("rnk") <= k)
         .select(id_col, "tok", "tf", F.round("_tfidf", 6).alias("tfidf"), "rnk")
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    the "repetitious text" quality filters): (id, n_lines, dup_line_frac,
+    dup_line_char_frac, n_ngrams, top_ngram_frac).
+
+    - dup_line_frac: fraction of line INSTANCES beyond the first occurrence
+      of each distinct line, Σ(c−1)/Σc over per-(doc, line) counts c.
+    - dup_line_char_frac: same, weighted by line length in characters.
+    - top_ngram_frac: count share of the single most frequent word n-gram,
+      max(c)/Σc (count-share, not Gopher's char-share: the max is
+      tie-invariant, so the result is deterministic without a gram
+      tie-break and replays exactly in SQL).
+
+    Plan shape at 100 TB: two exploded linear groupBys — (doc, line) and
+    (doc, gram) — each re-aggregated to the doc key; both shuffles carry
+    partial aggregates (map-side combine) and the final doc-keyed join
+    reuses the groupBy partitioning (no extra exchange). Whitespace-only
+    lines are dropped; docs with fewer than ngram_n tokens get n_ngrams=0,
+    top_ngram_frac=0.0. Docs whose text is all-whitespace vanish (no
+    lines), matching token_stats/stopword_ratio semantics.
+    """
+    if ngram_n < 1:
+        raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
+    lines = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ).where(F.length(F.trim("line")) > 0)
+    per_line = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("c"))
+    line_agg = per_line.select(
+        id_col, "c", F.length("line").alias("len")
+    ).groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.round(F.sum(F.col("c") - 1) / F.sum("c"), 6).alias("dup_line_frac"),
+        F.round(
+            F.sum((F.col("c") - 1) * F.col("len")) / F.sum(F.col("c") * F.col("len")), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+    w = tokens_col(text_col)
+    # word n-grams: positions 1..size-n+1, each joined with single spaces
+    # (tokens are whitespace-split, so the join is collision-free)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (ngram_n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(ngram_n)]
+        ),
+    )
+    grams = docs.select(
+        F.col(id_col),
+        # sequence(1, size-n+1) DESCENDS when size < n — guard to empty
+        F.explode(
+            F.when(F.size(w) >= ngram_n, gram).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    gram_agg = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"),
+    )
+    return line_agg.join(gram_agg, id_col, "left").select(
+        id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+        F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
+        F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+    )

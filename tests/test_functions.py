@@ -323,3 +323,78 @@ def test_knn_ivf_releases_storage(spark):
     free_local_checkpoint(res)
     leaked = storage_ids() - before
     assert not leaked, f"knn_cosine_ivf leaked storage blocks: {leaked}"
+
+
+def test_repetition_stats_multiline(spark):
+    from duwamish_spark.functions import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 line instances: "aa bb" x3 + "cc" x1 -> 2 dup instances
+            (1, "aa bb\naa bb\ncc\naa bb"),
+            (2, "xx yy\nzz ww"),          # no repetition
+            (3, "\n\n  \n"),              # whitespace-only: vanishes
+            (4, "solo"),                  # 1 token: no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert set(out) == {1, 2, 4}
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == pytest.approx(2 / 4)
+    # chars: dup instances 2*5, total 3*5 + 2
+    assert r1["dup_line_char_frac"] == pytest.approx(10 / 17)
+    # tokens: aa bb aa bb cc aa bb -> 6 bigrams, top "aa bb" x3
+    assert r1["n_ngrams"] == 6
+    assert r1["top_ngram_frac"] == pytest.approx(3 / 6)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_ngram_frac"] == pytest.approx(1 / 3)
+    assert out[4] == {
+        "doc_id": 4, "n_lines": 1, "dup_line_frac": 0.0,
+        "dup_line_char_frac": 0.0, "n_ngrams": 0, "top_ngram_frac": 0.0,
+    }
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    from duwamish_spark.functions import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared boilerplate\nunique to one"),
+            (2, "own content\nshared boilerplate\nmore own"),
+            (3, "shared boilerplate"),              # all paras are later copies
+            (4, "twice\ntwice\nother"),             # intra-doc dup
+            (5, "   \n\n"),                         # whitespace-only paras: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in paragraph_dedup(docs).collect()}
+    # doc 5 has zero non-empty paragraphs -> no row (matches oracle CTE)
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["text_clean"] == "shared boilerplate\nunique to one"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 2)
+    # doc 2 loses the shared paragraph (doc 1 got there first), keeps order
+    assert out[2]["text_clean"] == "own content\nmore own"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (3, 2)
+    # doc 3 is emptied but still present with "" text
+    assert out[3]["text_clean"] == ""
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (1, 0)
+    # intra-doc dedup: second "twice" dropped
+    assert out[4]["text_clean"] == "twice\nother"
+    assert (out[4]["n_paras"], out[4]["n_kept"]) == (3, 2)
+
+
+def test_paragraph_dedup_deterministic_under_partitioning(spark):
+    from duwamish_spark.functions import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"common para\nbody {i % 7}\ncommon para") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(paragraph_dedup(docs).collect())
+    b = sorted(paragraph_dedup(docs.repartition(13)).collect())
+    assert a == b
+    # exactly one copy of "common para" survives corpus-wide, in doc 0
+    keeper = [r for r in a if "common para" in r["text_clean"]]
+    assert len(keeper) == 1 and keeper[0]["doc_id"] == 0
