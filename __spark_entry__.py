@@ -997,6 +997,54 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(_chunked_docs(spark, sf_dir))
 
 
+def _pii_laced_docs(spark, sf_dir):
+    """documents with PII-shaped spans synthesized deterministically from
+    doc_id and the leading tokens (the corpus text is digit-free word soup,
+    so the scrub would be vacuous on it raw). Span presence varies by
+    doc_id residue so the counts aren't constant; the SAME construction is
+    replayed in the DuckDB oracle. pytest covers real-world-shaped
+    fixtures (overlaps, NULLs, dotted-quad email hosts)."""
+    from duwamish_spark.functions import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    w = tokens_col("text")
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact "), F.element_at(w, 1), F.lit("@"),
+        F.element_at(w, 2), F.lit(".com"),
+    )
+    phone = F.concat(
+        F.lit(" tel "),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(((did * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" ip "),
+        (did % 256).cast("string"), F.lit("."),
+        ((did * 3) % 256).cast("string"), F.lit("."),
+        ((did * 5) % 256).cast("string"), F.lit("."),
+        ((did * 11) % 256).cast("string"),
+    )
+    return docs.where((F.length(F.trim("text")) > 0) & (F.size(w) >= 2)).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 != 0, email).otherwise(F.lit("")),
+            F.when(did % 2 == 0, phone).otherwise(F.lit("")),
+            F.when(did % 5 != 4, ip).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails, dashed phones, IPv4s) with per-pattern
+    replacement counts, over the deterministically PII-laced documents."""
+    from duwamish_spark.functions import pii_scrub
+
+    return pii_scrub(_pii_laced_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1032,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 0. new in round 4 (never driver-checked) --
         "repetition_stats": q_repetition_stats,
         "paragraph_dedup": q_paragraph_dedup,
+        "pii_scrub": q_pii_scrub,
         # -- 1. no r3 row (tfidf_top3/doc_split/stratified_sample/
         #       contamination never driver-checked in any round) --
         "tfidf_top3": q_tfidf_top3,
@@ -1740,6 +1789,57 @@ def _paragraph_dedup_sql() -> str:
     """
 
 
+def _pii_scrub_sql() -> str:
+    """Replays _pii_laced_docs' span construction, then the scrub's
+    sequential count-then-replace chain with the SAME patterns
+    (PII_PATTERNS parse identically under Java regex and RE2 — no
+    lookaround/backrefs)."""
+    from duwamish_spark.functions.text import PII_PATTERNS
+
+    (_, email_p, email_r), (_, phone_p, phone_r), (_, ip_p, ip_r) = PII_PATTERNS
+    return rf"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM documents
+            WHERE length(trim(text)) > 0
+              AND len(regexp_split_to_array(trim(text), '\s+')) >= 2
+        ),
+        l AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 <> 0
+                           THEN ' contact ' || arr[1] || '@' || arr[2] || '.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN ' tel ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                                || '-' || lpad(((doc_id*7) % 1000)::VARCHAR, 3, '0')
+                                || '-' || lpad(((doc_id*13) % 10000)::VARCHAR, 4, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 <> 4
+                           THEN ' ip ' || (doc_id % 256)::VARCHAR
+                                || '.' || ((doc_id*3) % 256)::VARCHAR
+                                || '.' || ((doc_id*5) % 256)::VARCHAR
+                                || '.' || ((doc_id*11) % 256)::VARCHAR
+                           ELSE '' END AS text
+            FROM d
+        ),
+        s1 AS (SELECT doc_id,
+                      len(regexp_extract_all(text, '{email_p}'))::BIGINT AS n_email,
+                      regexp_replace(text, '{email_p}', '{email_r}', 'g') AS t
+               FROM l),
+        s2 AS (SELECT doc_id, n_email,
+                      len(regexp_extract_all(t, '{phone_p}'))::BIGINT AS n_phone,
+                      regexp_replace(t, '{phone_p}', '{phone_r}', 'g') AS t
+               FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_phone,
+                      len(regexp_extract_all(t, '{ip_p}'))::BIGINT AS n_ipv4,
+                      regexp_replace(t, '{ip_p}', '{ip_r}', 'g') AS t
+               FROM s2)
+        SELECT doc_id, t AS text_redacted, n_email, n_phone, n_ipv4 FROM s3
+    """
+
+
 def _doc_split_sql() -> str:
     """Replays hash_split's integer-threshold assignment; bounds come
     from the SAME split_thresholds() the engine uses."""
@@ -2293,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_stats": _repetition_stats_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
+        "pii_scrub": _pii_scrub_sql(),
         "token_stats": f"""
             WITH {tok_cte}
             SELECT doc_id, count(*) AS n_tokens, round(avg(length(tok)), 6) AS avg_token_len

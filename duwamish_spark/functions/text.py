@@ -282,3 +282,45 @@ def repetition_stats(
         F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
         F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
     )
+
+
+# PII patterns chosen to parse IDENTICALLY under Spark's Java regex and
+# DuckDB's RE2 (no lookaround, no backrefs; \b and {m,n} are common):
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, NANP-dashed phones, IPv4s) and
+    count the redactions — the scrubbing pass every published pretraining
+    pipeline runs before tokenization (e.g. the C4/ROOTS cleanups).
+
+    Returns (id, text_redacted, n_email, n_phone, n_ipv4). Patterns apply
+    IN ORDER to the progressively redacted text, so each count is exactly
+    the number of replacements that pattern performed (an IPv4 inside an
+    already-redacted email is neither counted nor re-replaced) and the
+    counts are reproducible from text_redacted's construction alone.
+
+    Plan shape at 100 TB: a pure per-row projection — no shuffle, no
+    explode, whole-stage-codegen JVM regex; scales embarrassingly and
+    pushes through any partitioning untouched. Order of rows never
+    matters; NULL text yields NULL redaction and zero counts.
+    """
+    t = F.col(text_col)
+    out: list[Column] = [F.col(id_col)]
+    counts: list[Column] = []
+    for name, pat, repl in patterns:
+        counts.append(
+            F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0))
+            .cast("long").alias(f"n_{name}")
+        )
+        t = F.regexp_replace(t, pat, repl)
+    return docs.select(*out, t.alias("text_redacted"), *counts)

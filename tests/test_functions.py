@@ -398,3 +398,41 @@ def test_paragraph_dedup_deterministic_under_partitioning(spark):
     # exactly one copy of "common para" survives corpus-wide, in doc 0
     keeper = [r for r in a if "common para" in r["text_clean"]]
     assert len(keeper) == 1 and keeper[0]["doc_id"] == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from duwamish_spark.functions import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or call 555-867-5309"),
+            (2, "server 10.0.255.3 and 192.168.1.1 ok"),
+            # email containing an IPv4-shaped host: redacted as EMAIL once,
+            # the inner dotted quad must NOT also count as an ipv4
+            (3, "root@10.20.30.40.example.com logged in"),
+            (4, "nothing sensitive here"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert out[1]["text_redacted"] == "mail me at <EMAIL> or call <PHONE>"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 0)
+    assert out[2]["text_redacted"] == "server <IPV4> and <IPV4> ok"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["n_email"] == 1 and out[3]["n_ipv4"] == 0
+    assert out[3]["text_redacted"] == "<EMAIL> logged in"
+    assert out[4]["text_redacted"] == "nothing sensitive here"
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (0, 0, 0)
+    assert out[5]["text_redacted"] is None
+    assert (out[5]["n_email"], out[5]["n_phone"], out[5]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    from duwamish_spark.functions import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(i, f"u{i}@example.com x") for i in range(20)], "doc_id long, text string"
+    )
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
