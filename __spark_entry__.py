@@ -1045,6 +1045,15 @@ def q_pii_scrub(spark, sf_dir):
     return pii_scrub(_pii_laced_docs(spark, sf_dir))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing layout: per-doc shard, token
+    count (+1 EOS), start offset in the shard's token stream, and the
+    first/last seq_len=64 training sequence it touches."""
+    from duwamish_spark.functions import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=64, n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1081,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
         # -- 1. no r3 row (tfidf_top3/doc_split/stratified_sample/
         #       contamination never driver-checked in any round) --
         "tfidf_top3": q_tfidf_top3,
@@ -1840,6 +1850,35 @@ def _pii_scrub_sql() -> str:
     """
 
 
+def _pack_sequences_sql() -> str:
+    """Replays pack_sequences(seq_len=64, n_shards=8): content-keyed
+    shard from the shared md5-u32 family, whitespace token count +1 EOS
+    (empty text = EOS only), per-shard running offset in id order."""
+    return r"""
+        WITH t AS (
+            SELECT doc_id,
+                   (('0x' || substring(md5('pack:' || doc_id::VARCHAR), 1, 8))
+                       ::UINTEGER::BIGINT % 8)::INTEGER AS shard,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END + 1)::BIGINT AS n_tokens
+            FROM documents
+        ),
+        o AS (
+            SELECT doc_id, shard, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS start_off
+            FROM t
+        )
+        SELECT doc_id, shard, n_tokens, start_off,
+               (start_off // 64)::BIGINT AS seq_first,
+               ((start_off + n_tokens - 1) // 64)::BIGINT AS seq_last
+        FROM o
+    """
+
+
 def _doc_split_sql() -> str:
     """Replays hash_split's integer-threshold assignment; bounds come
     from the SAME split_thresholds() the engine uses."""
@@ -2394,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_stats_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
         "pii_scrub": _pii_scrub_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "token_stats": f"""
             WITH {tok_cte}
             SELECT doc_id, count(*) AS n_tokens, round(avg(length(tok)), 6) AS avg_token_len

@@ -122,3 +122,65 @@ def stratified_sample(
             F.lit(int(fractions[s] * _U32_SPACE)),
         ).otherwise(thresh)
     return df.where(F.col(key_col).isNotNull() & (u < thresh))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_shards: int = 256,
+    eos_tokens: int = 1,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing layout: where each
+    document lands when the corpus is concatenated (with ``eos_tokens``
+    separators) and cut into fixed ``seq_len``-token training sequences.
+
+    Returns (id, shard, n_tokens, start_off, seq_first, seq_last):
+    whitespace token count + EOS, the doc's starting offset in its
+    shard's token stream, and the first/last sequence index it touches
+    (sequence ids are PER-SHARD; a shard is an independent token stream,
+    i.e. one training-data file).
+
+    Determinism/scale shape: the shard is the content-keyed hash of the
+    id (same md5-u32 family as hash_split — stable under repartitioning,
+    AQE, and incremental re-ingestion), and the only stateful step is a
+    running sum windowed BY SHARD in deterministic id order. No global
+    sort, no driver state: at 100 TB you set n_shards to a few × the
+    writer-task count and each window partition is one bounded file's
+    worth. Empty/whitespace-only docs still occupy their EOS tokens (the
+    trainer's separator is emitted per document).
+
+    ``id_col`` MUST be unique: ties in the within-shard ORDER BY would
+    make the tied rows' start_off depend on physical row order (the same
+    contract as every doc-keyed operator here; exact-dedup upstream).
+    """
+    if seq_len < 1 or n_shards < 1 or eos_tokens < 0:
+        raise ValueError(
+            f"need seq_len>=1, n_shards>=1, eos_tokens>=0; got "
+            f"{seq_len}, {n_shards}, {eos_tokens}"
+        )
+    from duwamish_spark.functions.text import tokens_col
+    from pyspark.sql.window import Window
+
+    did = F.col(id_col)
+    base = docs.select(
+        did.alias("id"),
+        (_u32_of(did, salt) % n_shards).cast("int").alias("shard"),
+        (F.size(tokens_col(text_col)) + eos_tokens).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return base.select(
+        F.col("id").alias(id_col),
+        "shard",
+        "n_tokens",
+        start.alias("start_off"),
+        F.floor(start / seq_len).cast("long").alias("seq_first"),
+        F.floor((start + F.col("n_tokens") - 1) / seq_len).cast("long").alias("seq_last"),
+    )

@@ -224,3 +224,62 @@ def test_neighbor_mean_embedding_matches_brute(spark):
     assert got == want
     # 99 and the self-loop vertex have no embedded out-neighbors
     assert not [k for k in got if k[0] in (99, 5)]
+
+
+def test_pack_sequences_layout_matches_brute(spark):
+    import hashlib
+
+    from duwamish_spark.functions import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (i % 7))) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(docs, seq_len=10, n_shards=4).collect()
+    }
+
+    def u32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    # brute replay: shard by hash, order by id, running offsets
+    per_shard = {}
+    for i, text in sorted(rows):
+        shard = u32(f"pack:{i}") % 4
+        ntok = (len(text.split()) if text.strip() else 0) + 1
+        off = per_shard.get(shard, 0)
+        per_shard[shard] = off + ntok
+        got = out[i]
+        assert got["shard"] == shard
+        assert got["n_tokens"] == ntok, (i, text)
+        assert got["start_off"] == off
+        assert got["seq_first"] == off // 10
+        assert got["seq_last"] == (off + ntok - 1) // 10
+    # token stream is gapless per shard: offsets+lengths tile exactly
+    for shard, total in per_shard.items():
+        covered = sum(r["n_tokens"] for r in out.values() if r["shard"] == shard)
+        assert covered == total
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    from duwamish_spark.functions import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    a = sorted(pack_sequences(docs, seq_len=8).collect())
+    b = sorted(pack_sequences(docs.repartition(17), seq_len=8).collect())
+    assert a == b
+
+
+def test_pack_sequences_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from duwamish_spark.functions import pack_sequences
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=0)
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, n_shards=0)
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, eos_tokens=-1)
