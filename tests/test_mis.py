@@ -119,3 +119,37 @@ def test_mis_isolated_vertices_win_round1(spark):
     got = {r["id"]: (r["in_mis"], r["round"]) for r in res.state.collect()}
     assert got[10] == (True, 1) and got[11] == (True, 1)
     free_local_checkpoint(res.state)
+
+
+def test_mis_budget_exhausted_keeps_undecided_rows(spark):
+    # max_rounds=0: nothing is decided, yet EVERY vertex must still get a
+    # state row with NULL in_mis/round (ADVICE round-3: undecided vertices
+    # used to be omitted entirely)
+    ids = list(range(12))
+    edges = [(i, i + 1) for i in range(11)]
+    verts = spark.createDataFrame([(i,) for i in ids], "id long")
+    es = spark.createDataFrame(edges, "src long, dst long")
+    res = maximal_independent_set(spark, verts, es, max_rounds=0)
+    rows = {r["id"]: (r["in_mis"], r["round"]) for r in res.state.collect()}
+    assert set(rows) == set(ids), "every vertex must have a state row"
+    assert all(v == (None, None) for v in rows.values())
+    assert res.halted is False
+
+    # mid-budget: with one round, decided vertices carry round=1 and the
+    # rest (if any — priority-dependent) stay as NULL rows
+    res1 = maximal_independent_set(spark, verts, es, max_rounds=1)
+    rows1 = {r["id"]: (r["in_mis"], r["round"]) for r in res1.state.collect()}
+    assert set(rows1) == set(ids)
+    for m, rd in rows1.values():
+        assert (m is None and rd is None) or rd == 1
+
+
+def test_mis_edge_endpoints_outside_vertices_are_ignored(spark):
+    # edge endpoint 99 is absent from `vertices`: it must not appear in
+    # the output at all (in particular never as a loser)
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    es = spark.createDataFrame([(1, 2), (2, 99)], "src long, dst long")
+    res = maximal_independent_set(spark, verts, es, max_rounds=20)
+    rows = {r["id"]: r["in_mis"] for r in res.state.collect()}
+    assert set(rows) == {1, 2}
+    assert sorted(rows.values()) == [False, True]
