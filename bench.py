@@ -352,6 +352,26 @@ def bench_sf10(spark, cpus: int) -> dict:
         "edges_per_sec": round(ne * pr.supersteps / sec, 1),
     }
 
+    # broadcast strategy above its auto cap: on ONE box a 10M-vertex
+    # (~400 MB) per-superstep broadcast beats shuffling E message rows
+    # (measured 22.9M vs 12.4M e/s) because local "broadcast" is a memory
+    # copy; on a 1000-executor cluster it would be 400 GB of network per
+    # superstep, which is why auto keeps the 5M cap and shuffle stays the
+    # headline strategy here.
+    t0 = time.monotonic()
+    prb = pagerank(
+        spark, verts, edges_e, max_supersteps=10,
+        num_partitions=cpus * 4, halt_interval=2, encode=False,
+        strategy="broadcast", broadcast_max_vertices=11_000_000,
+    )
+    prb.state.count()
+    sec_b = time.monotonic() - t0
+    q["pagerank_fixed10_broadcast"] = round(sec_b, 3)
+    d["pagerank_broadcast"] = {
+        "supersteps": prb.supersteps,
+        "edges_per_sec": round(ne * prb.supersteps / sec_b, 1),
+    }
+
     t0 = time.monotonic()
     cc = connected_components(
         spark, verts, edges_e, num_partitions=cpus * 4, encode=False
@@ -391,6 +411,11 @@ def main() -> None:
     from duwamish_spark.graph import vertices_from
     from duwamish_spark.session import get_spark
 
+    # The SF=10 block (635M edges in one JVM) needs more heap than the
+    # 48g default or it trades it all back in shuffle/persist spill; only
+    # a default — an explicit SPARK_DRIVER_MEM still wins.
+    if os.path.exists(os.path.join(CACHE, "edges_n10000000_d127_s42.parquet")):
+        os.environ.setdefault("SPARK_DRIVER_MEM", "80g")
     spark = get_spark("duwamish-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     queries: dict[str, float] = {}
     extra: dict[str, object] = {}
