@@ -1054,6 +1054,43 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), seq_len=64, n_shards=8)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pairs (exact 3-gram Jaccard >= 0.2, the oracle-shared pair
+    relation) collapsed into transitive duplicate groups by the engine's
+    own connected components, one keeper (min id) per group — the final
+    stage of the fuzzy-dedup pipeline."""
+    from duwamish_spark.functions import dedup_groups, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return dedup_groups(spark, docs, pairs)
+
+
+def q_source_cap(spark, sf_dir):
+    """At most 7 documents per source, survivors chosen by the
+    content-keyed hash order (anti-domination pass)."""
+    from duwamish_spark.functions import cap_per_key
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    out = cap_per_key(docs, "source", 7)
+    return out.select("doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank"))
+
+
+def q_pagerank_dangling_fixed5(spark, sf_dir):
+    """Standard (Page et al.) dangling-mass redistribution variant, 5
+    fixed supersteps, on the src<500 subgraph so ids appearing only as
+    dst are genuinely dangling (the unfiltered driver graph has none)."""
+    from duwamish_spark.algorithms import pagerank
+    from duwamish_spark.graph import vertices_from
+
+    e = _edges(spark, sf_dir).where(F.col("src") < 500)
+    v = vertices_from(None, e)
+    res = pagerank(
+        spark, v, e, tol=0.0, max_supersteps=5, dangling="redistribute"
+    )
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1087,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green r3 rows and untouched code this round.
     return {
         # -- 0. new in round 4 (never driver-checked) --
+        "dedup_groups": q_dedup_groups,
+        "source_cap": q_source_cap,
+        "pagerank_dangling_fixed5": q_pagerank_dangling_fixed5,
         "repetition_stats": q_repetition_stats,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
@@ -1292,6 +1332,51 @@ def _pagerank_chain_sql(steps: int, personalized: bool = False) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 6) AS rank FROM r{steps}"
+    )
+
+
+def _pagerank_dangling_chain_sql(steps: int, src_cap: int = 500) -> str:
+    """Chained-CTE replay of the dangling-redistribute variant on the
+    src<src_cap subgraph: per step, D = Σ rank over out-degree-0 vertices
+    of the PREVIOUS state, every vertex receives D/V inside the damping
+    factor — the same arithmetic order as the engine
+    (coalesce(msum,0) + dm/V, then base + d·(...))."""
+    ctes = [
+        f"e AS (SELECT l_orderkey % {MOD} AS src, l_partkey % {MOD} AS dst "
+        f"FROM lineitem WHERE (l_orderkey % {MOD}) < {src_cap})",
+        _VERT_CTE,
+        "deg AS (SELECT v.id AS id, count(e.src) AS d FROM v "
+        "LEFT JOIN e ON e.src = v.id GROUP BY v.id)",
+        "dang AS (SELECT id FROM deg WHERE d = 0)",
+        "nv AS (SELECT count(*) AS n FROM v)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"dm{i-1} AS (SELECT coalesce(sum(r.rank), 0.0) / (SELECT n FROM nv) AS m "
+            f"FROM r{i-1} r JOIN dang ON dang.id = r.id)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT v.id AS id, "
+            f"0.15 + 0.85 * (coalesce(s.s, 0) + (SELECT m FROM dm{i-1})) AS rank "
+            f"FROM v LEFT JOIN (SELECT e.dst AS id, sum(r.rank / deg.d) AS s FROM e "
+            f"JOIN deg ON deg.id = e.src JOIN r{i-1} r ON r.id = e.src GROUP BY e.dst) s "
+            f"ON s.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 6) AS rank FROM r{steps}"
+    )
+
+
+def _source_cap_sql(cap: int = 7) -> str:
+    """Replays cap_per_key row-for-row: row_number within source over the
+    (u32(md5('cap:' || id)), id) order, keep rank <= cap."""
+    return (
+        "WITH h AS (SELECT doc_id, source, ('0x' || substring(md5('cap:' || "
+        "doc_id::VARCHAR), 1, 8))::UINTEGER::BIGINT AS u FROM documents), "
+        "r AS (SELECT doc_id, source, row_number() OVER "
+        "(PARTITION BY source ORDER BY u, doc_id) AS cap_rank FROM h) "
+        f"SELECT doc_id, source, cap_rank FROM r WHERE cap_rank <= {cap}"
     )
 
 
@@ -2008,8 +2093,9 @@ _SCC_MUTUAL_SQL = f"""
     GROUP BY r1.id
 """
 
-_NGRAM_JACCARD_SQL = r"""
-    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+# shared by ngram_jaccard / minhash_near_dups / dedup_groups: the exact
+# 3-gram Jaccard pair relation (threshold 0.2) as CTEs ending in `npairs`
+_NGRAM_PAIR_CTES = r"""d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
                FROM documents WHERE length(trim(text)) > 0),
     idx AS (SELECT doc_id, arr,
                    unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
@@ -2021,14 +2107,37 @@ _NGRAM_JACCARD_SQL = r"""
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
                FROM sh a JOIN sh b ON a.shingle = b.shingle
-               WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
-    SELECT id_a, id_b,
-           round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
-    FROM common
-    JOIN sizes na ON na.doc_id = id_a
-    JOIN sizes nb ON nb.doc_id = id_b
-    WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
+               WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+    npairs AS (SELECT id_a, id_b,
+                      round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+               FROM common
+               JOIN sizes na ON na.doc_id = id_a
+               JOIN sizes nb ON nb.doc_id = id_b
+               WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2)"""
+
+_NGRAM_JACCARD_SQL = (
+    "WITH " + _NGRAM_PAIR_CTES + "\n    SELECT id_a, id_b, jaccard FROM npairs"
+)
+
+# dedup_groups: transitive closure (min-label) of the SAME pair relation,
+# then one keeper per group over the full documents table
+_DEDUP_GROUPS_SQL = (
+    "WITH RECURSIVE " + _NGRAM_PAIR_CTES + """,
+    psym AS (SELECT id_a AS s, id_b AS t FROM npairs
+             UNION SELECT id_b AS s, id_a AS t FROM npairs),
+    pv AS (SELECT DISTINCT s AS id FROM psym),
+    reach(id, r) AS (
+        SELECT id, id FROM pv
+        UNION
+        SELECT reach.id, psym.t FROM reach JOIN psym ON psym.s = reach.r
+    ),
+    grp AS (SELECT id, min(r) AS g FROM reach GROUP BY id)
+    SELECT doc.doc_id AS doc_id,
+           coalesce(grp.g, doc.doc_id) AS "group",
+           doc.doc_id = coalesce(grp.g, doc.doc_id) AS keep
+    FROM documents doc LEFT JOIN grp ON grp.id = doc.doc_id
 """
+)
 
 # After supersteps 0-3 (feature -> rating -> feature -> rating) every
 # feature vertex's component 0 is clamp(1 + lr * sum(rating - 1)): the
@@ -2550,6 +2659,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_md5_sql(7),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_near_dups": _NGRAM_JACCARD_SQL,
+        "dedup_groups": _DEDUP_GROUPS_SQL,
+        "source_cap": _source_cap_sql(7),
+        "pagerank_dangling_fixed5": _pagerank_dangling_chain_sql(5),
         "embedding_near_dups": """
             WITH pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -77,7 +77,7 @@ def _edges_weighted(
     return ew
 
 
-def _update(state: DataFrame, sums: DataFrame, damping: float) -> DataFrame:
+def _update(state: DataFrame, sums: DataFrame, damping: float, extra=None) -> DataFrame:
     # personalized teleport: state carries a `_p` column (Σ_p = V, so the
     # uniform vector `_p = 1` reduces exactly to the classic update) and the
     # restart mass lands as (1-d)·p_i instead of (1-d)·1
@@ -87,7 +87,13 @@ def _update(state: DataFrame, sums: DataFrame, damping: float) -> DataFrame:
         if personalized
         else F.lit(1.0 - damping)
     )
-    new_rank = base + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
+    # `extra` (dangling-redistribute share) joins INSIDE the damping factor:
+    # rank = base + d·(Σ incoming + extra) — kept off the default path so the
+    # reference-exact plan/arithmetic is untouched when extra is None
+    incoming = F.coalesce("msum", F.lit(0.0))
+    if extra is not None:
+        incoming = incoming + extra
+    new_rank = base + F.lit(damping) * incoming
     cols = [
         F.col("id"),
         new_rank.alias("rank"),
@@ -96,12 +102,27 @@ def _update(state: DataFrame, sums: DataFrame, damping: float) -> DataFrame:
     ]
     if personalized:
         cols.append(F.col("_p"))
+    if "_dang" in state.columns:
+        cols.append(F.col("_dang"))
     return state.join(sums.hint("shuffle_hash"), "id", "left").select(*cols)
+
+
+def _dangling_share(state: DataFrame, n_verts: int) -> tuple[DataFrame, "F.Column"]:
+    """(state ⨯ broadcast scalar, per-vertex share column) for the
+    standard dangling-mass redistribution: D = Σ rank over out-degree-0
+    vertices (from the PREVIOUS superstep's state), each vertex receives
+    D/V inside the damping factor. One V-row aggregate + a broadcast
+    scalar cross join per superstep — the same scalar-broadcast pattern
+    as the HITS/modularity norms, never an E-row cost."""
+    dm = state.agg(
+        F.sum(F.when(F.col("_dang"), F.col("rank")).otherwise(F.lit(0.0))).alias("_dm")
+    )
+    return state.crossJoin(F.broadcast(dm)), F.col("_dm") / F.lit(float(n_verts))
 
 
 def pagerank_step(
     state: DataFrame, edges_w: DataFrame, damping: float = 0.85, salt: int = 0,
-    combine: str = "partial",
+    combine: str = "partial", n_verts: int | None = None,
 ) -> DataFrame:
     """One shuffle-strategy superstep: state(id, rank) → (id, rank, _delta, _msgs).
 
@@ -119,11 +140,15 @@ def pagerank_step(
         msgs, [("msum", "m", "sum"), ("mcnt", "m", "count")], key="dst", salt=salt,
         pre_shuffle=(combine == "raw"),
     ).withColumnRenamed("dst", "id")
+    if "_dang" in state.columns:
+        state, share = _dangling_share(state, n_verts)
+        return _update(state, sums, damping, extra=share)
     return _update(state, sums, damping)
 
 
 def pagerank_step_broadcast(
-    state: DataFrame, edges_w: DataFrame, damping: float = 0.85
+    state: DataFrame, edges_w: DataFrame, damping: float = 0.85,
+    n_verts: int | None = None,
 ) -> DataFrame:
     """One broadcast-strategy superstep: edges are dst-partitioned, the rank
     vector is broadcast, message combine is partition-local (no shuffle)."""
@@ -133,6 +158,9 @@ def pagerank_step_broadcast(
     sums = msgs.groupBy("dst").agg(
         F.sum("m").alias("msum"), F.count("m").alias("mcnt")
     ).withColumnRenamed("dst", "id")
+    if "_dang" in state.columns:
+        state, share = _dangling_share(state, n_verts)
+        return _update(state, sums, damping, extra=share)
     return _update(state, sums, damping)
 
 
@@ -159,8 +187,20 @@ def pagerank(
     teleport: DataFrame | None = None,
     partitioner=None,
     weight_col: str | None = None,
+    dangling: str = "drop",
 ) -> PregelResult:
     """Run PageRank to L1-residual convergence. Result state: (id, rank).
+
+    ``dangling``: what happens to the rank mass of out-degree-0 vertices.
+    ``"drop"`` (default) is REFERENCE-EXACT — the reference's send loop
+    simply never runs for them (PageRank.java:58-63), so their mass
+    vanishes. ``"redistribute"`` is the standard formulation (Page et al.
+    1999): each superstep the previous ranks of dangling vertices are
+    summed (D) and every vertex receives d·D/V alongside its inbound
+    messages — total rank stays V exactly. Cost: one V-row aggregate +
+    one broadcast-scalar cross join per superstep (the E-row message
+    plan is unchanged); per-vertex danglingness is a boolean computed
+    once at init, riding the state like the teleport column.
 
     ``initial_ranks`` (id, rank): warm start — seed from a previous
     converged run instead of 1.0 everywhere. When the corpus grows
@@ -195,6 +235,8 @@ def pagerank(
     require_columns(edges, ("src", "dst"), "edges")
     if weight_col is not None:
         require_columns(edges, (weight_col,), "edges")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be 'drop' or 'redistribute', got {dangling!r}")
 
     mapping = None
     verts, e = vertices, edges
@@ -251,6 +293,13 @@ def pagerank(
         init = init.join(tp, "id", "left").select(
             "id", "rank", F.coalesce("_p", F.lit(0.0)).alias("_p")
         )
+    if dangling == "redistribute":
+        # danglingness is structural — computed ONCE from the edge set,
+        # then rides the state as a boolean (like the teleport column)
+        srcs = e.select(F.col("src").alias("id")).distinct()
+        init = init.join(
+            srcs.withColumn("_has_out", F.lit(True)), "id", "left"
+        ).withColumn("_dang", F.col("_has_out").isNull()).drop("_has_out")
     if num_partitions:
         from duwamish_spark.graph import partition_by
 
@@ -271,9 +320,9 @@ def pagerank(
         # chain depth; measured sweet spot is 4 (18.7M e/s vs 8.0M at 8 on
         # the SF=0.1 bench graph) — cap rather than let it degrade
         halt_interval = min(halt_interval, 4)
-        step = lambda st, s: pagerank_step_broadcast(st, edges_w, damping)  # noqa: E731
+        step = lambda st, s: pagerank_step_broadcast(st, edges_w, damping, n_verts)  # noqa: E731
     else:
-        step = lambda st, s: pagerank_step(st, edges_w, damping, salt, combine)  # noqa: E731
+        step = lambda st, s: pagerank_step(st, edges_w, damping, salt, combine, n_verts)  # noqa: E731
 
     runner = Pregel(
         spark,

@@ -824,3 +824,56 @@ def paragraph_dedup(
         "n_paras",
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
     )
+
+
+def dedup_groups(
+    spark,
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into duplicate GROUPS and elect one
+    canonical keeper per group — the final stage of every fuzzy-dedup
+    pipeline (pairs from :func:`minhash_near_dups`, :func:`simhash_near_dups`,
+    :func:`ngram_jaccard_pairs`, or similarity.embedding_near_dups are
+    only pairwise; dropping "the b of every (a,b)" over-deletes chains
+    like a~b, b~c where a~c was never emitted).
+
+    Near-duplication is made transitive by running the engine's own
+    hash-min connected components over the PAIR graph (the same operator
+    the north rule gates, applied to the dedup pipeline): group = min doc
+    id in the near-dup component.
+
+    Returns one row per doc: (id_col, group, keep) with
+    ``keep = (id == group)`` — exactly one keeper per group, and docs in
+    no pair keep themselves.
+
+    Scale shape: CC runs ONLY on ids that appear in a pair (at 100 TB the
+    near-dup subset is a small fraction of the corpus), and dup components
+    are shallow stars/chains so hash-min converges in a handful of rounds;
+    the full corpus is touched once by the final V-row left join.
+    ``pairs`` endpoints must come from ``docs`` (they do when the pair
+    relation was computed from it) — foreign ids would elect keepers that
+    don't exist.
+    """
+    from duwamish_spark.algorithms.components import connected_components
+    from duwamish_spark.graph import vertices_from
+
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(
+        spark,
+        vertices_from(None, e),
+        e,
+        max_supersteps=max_rounds,
+        num_partitions=num_partitions,
+    )
+    labels = cc.state.select(F.col("id"), F.col("label").alias("_grp"))
+    did = F.col(id_col)
+    return docs.select(did.alias("id")).join(labels, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("_grp", F.col("id")).alias("group"),
+        (F.col("id") == F.coalesce("_grp", F.col("id"))).alias("keep"),
+    )

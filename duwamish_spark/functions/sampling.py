@@ -184,3 +184,44 @@ def pack_sequences(
         F.floor(start / seq_len).cast("long").alias("seq_first"),
         F.floor((start + F.col("n_tokens") - 1) / seq_len).cast("long").alias("seq_last"),
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    rank_col: str = "cap_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key_col`` value — the anti-domination
+    pass of a web-scale pipeline (cap documents per domain/source so one
+    boilerplate-heavy host cannot dominate the training mix).
+
+    WHICH rows survive is content-keyed, not positional: rows are ranked
+    within their key by ``(u32(md5(salt:id)), id)`` — a deterministic
+    pseudo-random order, so the kept subset is a uniform sample of the
+    key's rows, reproducible across runs/partitionings/engines, and stable
+    under incremental re-ingestion (a re-crawled doc keeps its rank
+    relative to unchanged siblings). The surviving rows carry ``rank_col``
+    (1-based) for observability.
+
+    Scale shape: one window per key with a rank-filter on top — Spark
+    plans it as WindowGroupLimit, pruning to the per-key top-``cap``
+    map-side BEFORE the shuffle, so a 10^8-row hot domain moves only
+    ``cap`` rows per map task, not its whole partition bucket. NULL keys
+    group together (one capped group — both engines treat window NULL
+    keys as equal); ``id_col`` must be unique and non-null (ties would
+    make survival depend on physical row order).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql.window import Window
+
+    u = _u32_of(F.col(id_col), salt)
+    w = Window.partitionBy(key_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= cap)
+    )

@@ -28,6 +28,7 @@ def pagerank_oracle(
     tol: float = 1e-6,
     max_supersteps: int = 200,
     fixed_supersteps: int | None = None,
+    dangling: str = "drop",
 ) -> tuple[dict[str, float], int]:
     """Returns ({id: rank}, supersteps_run)."""
     n = len(vertex_ids)
@@ -40,6 +41,8 @@ def pagerank_oracle(
         contrib = np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0)
         sums = np.zeros(n)
         np.add.at(sums, dst, contrib[src])
+        if dangling == "redistribute":
+            sums = sums + rank[outdeg == 0].sum() / n
         new = (1.0 - damping) + damping * sums
         residual = np.abs(new - rank).sum()
         rank = new

@@ -436,3 +436,57 @@ def test_pii_scrub_is_pure_projection(spark):
     )
     plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_dedup_groups_transitive_chain(spark):
+    from duwamish_spark.functions import dedup_groups
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(6)], "doc_id string"
+    )
+    # chain d0~d1~d2 plus reversed-order pair d4~d3 (order must not matter)
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d1", "d2"), ("d4", "d3")], "id_a string, id_b string"
+    )
+    got = {r["doc_id"]: (r["group"], r["keep"]) for r in dedup_groups(spark, docs, pairs).collect()}
+    assert got == {
+        "d0": ("d0", True),
+        "d1": ("d0", False),
+        "d2": ("d0", False),
+        "d3": ("d3", True),
+        "d4": ("d3", False),
+        "d5": ("d5", True),
+    }
+
+
+def test_dedup_groups_matches_union_find(spark):
+    import random
+
+    from duwamish_spark.functions import dedup_groups
+
+    rng = random.Random(11)
+    ids = [f"x{i:03d}" for i in range(80)]
+    pairs = [tuple(rng.sample(ids, 2)) for _ in range(60)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    pdf = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {r["doc_id"]: r["group"] for r in dedup_groups(spark, docs, pdf).collect()}
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(comp[find(i)]) for i in ids}
+    assert got == want
+    keepers = [i for i in ids if got[i] == i]
+    assert sorted(keepers) == sorted(set(want.values()))

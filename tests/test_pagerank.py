@@ -279,3 +279,53 @@ def test_weighted_missing_column_rejected(spark):
             spark, vertices_df(spark, ids), edges_df(spark, edges),
             weight_col="nope",
         )
+
+
+def test_dangling_redistribute_conserves_total_rank(spark):
+    # 0 -> 1, 1 dangling: with redistribution total rank stays exactly V
+    ids = ["0", "1", "2"]
+    edges = [("0", "1"), ("2", "1")]
+    ranks, res = _run(
+        spark, ids, edges, tol=0.0, max_supersteps=8, dangling="redistribute"
+    )
+    assert sum(ranks.values()) == pytest.approx(3.0, abs=1e-9)
+    oracle, _ = pagerank_oracle(
+        ids, edges, fixed_supersteps=8, dangling="redistribute"
+    )
+    for v in ids:
+        assert ranks[v] == pytest.approx(oracle[v], abs=1e-9)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_dangling_redistribute_random_graph(spark, strategy):
+    # rand_graph leaves some vertices without out-edges only if maxdeg
+    # draws 0 — force danglings by dropping all out-edges of a vertex set
+    ids, edges = rand_graph(120, 4, seed=9)
+    dang = set(ids[::7])
+    edges = [(s, d) for s, d in edges if s not in dang]
+    oracle, _ = pagerank_oracle(
+        ids, edges, fixed_supersteps=12, dangling="redistribute"
+    )
+    ranks, _ = _run(
+        spark, ids, edges, tol=0.0, max_supersteps=12,
+        dangling="redistribute", strategy=strategy,
+    )
+    got = np.array([ranks[i] for i in ids])
+    want = np.array([oracle[i] for i in ids])
+    assert np.allclose(got, want, atol=1e-9)
+    assert got.sum() == pytest.approx(len(ids), abs=1e-6)
+
+
+def test_dangling_drop_unchanged_when_no_danglings(spark):
+    # graphs with no dangling vertex: redistribute == drop exactly
+    ids = ["0", "1", "2"]
+    edges = [("0", "1"), ("1", "2"), ("2", "0"), ("0", "2")]
+    a, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=6)
+    b, _ = _run(spark, ids, edges, tol=0.0, max_supersteps=6, dangling="redistribute")
+    assert a == b
+
+
+def test_dangling_rejects_unknown_mode(spark):
+    ids = ["0", "1"]
+    with pytest.raises(ValueError, match="dangling"):
+        _run(spark, ids, [("0", "1")], dangling="teleport")

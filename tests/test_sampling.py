@@ -283,3 +283,64 @@ def test_pack_sequences_rejects_bad_params(spark):
         pack_sequences(docs, n_shards=0)
     with _pytest.raises(ValueError):
         pack_sequences(docs, eos_tokens=-1)
+
+
+# ---------------------------------------------------------------------------
+# cap_per_key
+# ---------------------------------------------------------------------------
+
+def test_cap_per_key_matches_reference_hash(spark):
+    from duwamish_spark.functions import cap_per_key
+
+    rows = [(f"doc{i:03d}", f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {
+        r["doc_id"]: r["cap_rank"]
+        for r in cap_per_key(df, "source", 4).collect()
+    }
+    # brute replay: per key, sort by (u32(md5(cap:id)), id), keep first 4
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for did, src in rows:
+        by_key[src].append(did)
+    want = {}
+    for src, ids in by_key.items():
+        for rank, did in enumerate(
+            sorted(ids, key=lambda d: (_u32("cap", d), d))[:4], start=1
+        ):
+            want[did] = rank
+    assert got == want
+
+
+def test_cap_per_key_stable_under_repartition(spark):
+    from duwamish_spark.functions import cap_per_key
+
+    rows = [(f"d{i:04d}", f"k{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    a = sorted(r["doc_id"] for r in cap_per_key(df, "source", 7).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_key(df.repartition(13), "source", 7).collect()
+    )
+    assert a == b and len(a) == 35
+
+
+def test_cap_per_key_null_keys_one_group(spark):
+    from duwamish_spark.functions import cap_per_key
+
+    rows = [("a", None), ("b", None), ("c", None), ("d", "x")]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = cap_per_key(df, "source", 2).collect()
+    nulls = [r for r in out if r["source"] is None]
+    assert len(nulls) == 2 and len(out) == 3
+
+
+def test_cap_per_key_rejects_bad_cap(spark):
+    import pytest as _pytest
+
+    from duwamish_spark.functions import cap_per_key
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, source string")
+    with _pytest.raises(ValueError, match="cap"):
+        cap_per_key(df, "source", 0)
