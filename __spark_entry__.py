@@ -1076,6 +1076,21 @@ def q_source_cap(spark, sf_dir):
     return out.select("doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank"))
 
 
+def q_cc_warmstart(spark, sf_dir):
+    """Grow-only incremental CC: converge on the even-src half of the edge
+    set, then warm-start the full graph from those labels. The final
+    labeling must equal the cold full-graph fixpoint (the shared
+    reachability oracle) — warm start changes rounds, never results."""
+    from duwamish_spark.algorithms import connected_components
+    from duwamish_spark.graph import vertices_from
+
+    e = _edges(spark, sf_dir)
+    v = vertices_from(None, e)
+    half = connected_components(spark, v, e.where(F.col("src") % 2 == 0))
+    res = connected_components(spark, v, e, initial_labels=half.state)
+    return res.state.select("id", "label")
+
+
 def q_pagerank_dangling_fixed5(spark, sf_dir):
     """Standard (Page et al.) dangling-mass redistribution variant, 5
     fixed supersteps, on the src<500 subgraph so ids appearing only as
@@ -1127,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "source_cap": q_source_cap,
         "pagerank_dangling_fixed5": q_pagerank_dangling_fixed5,
+        "cc_warmstart": q_cc_warmstart,
         "repetition_stats": q_repetition_stats,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
@@ -2662,6 +2678,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": _DEDUP_GROUPS_SQL,
         "source_cap": _source_cap_sql(7),
         "pagerank_dangling_fixed5": _pagerank_dangling_chain_sql(5),
+        "cc_warmstart": _CC_REACH_SQL,
         "embedding_near_dups": """
             WITH pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

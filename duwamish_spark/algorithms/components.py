@@ -277,8 +277,20 @@ def connected_components(
     algorithm: str = "hashmin",
     partitioner=None,
     combine: str = "partial",
+    initial_labels: DataFrame | None = None,
 ) -> PregelResult:
     """Result state: (id, label) where label = min vertex id in the component.
+
+    ``initial_labels`` (id, label): warm start for GROW-ONLY incremental
+    recomputation — seed from a previous converged run when the graph has
+    gained edges/vertices since. Hash-min converges to
+    ``min over the component of the INITIAL labels``; because previous
+    labels are component-min ids and added edges only merge components,
+    that equals the fresh component min — exact, in a fraction of the
+    rounds (label fronts start at the old component borders instead of
+    every vertex). Vertices absent from the seed (new ids) start at their
+    own id. NOT valid after edge REMOVALS: a stale too-small label would
+    persist (min-combine can never raise a label) — recompute cold.
 
     ``partitioner``: optional ``Column -> Column`` placement hook for the
     persisted adjacency and initial state (graph.partition_by; reference:
@@ -344,9 +356,32 @@ def connected_components(
     edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
     edges_sym.count()
 
-    init = verts.select(
-        "id", F.col("id").alias("label"), F.lit(1).alias("_changed"), F.lit(0).alias("_msgs")
-    )
+    if initial_labels is not None:
+        seed = initial_labels.select("id", F.col("label").alias("_seed"))
+        if mapping is not None:
+            # both columns are vertex ids — encode each through the mapping
+            m_enc = mapping.select(F.col("id"), F.col("vid"))
+            seed = (
+                seed.join(m_enc, "id")
+                .select(F.col("vid").alias("id"), F.col("_seed"))
+                .join(
+                    m_enc.select(
+                        F.col("id").alias("_seed"), F.col("vid").alias("_seed_enc")
+                    ),
+                    "_seed",
+                )
+                .select("id", F.col("_seed_enc").alias("_seed"))
+            )
+        init = verts.join(seed, "id", "left").select(
+            "id",
+            F.coalesce("_seed", F.col("id")).alias("label"),
+            F.lit(1).alias("_changed"),
+            F.lit(0).alias("_msgs"),
+        )
+    else:
+        init = verts.select(
+            "id", F.col("id").alias("label"), F.lit(1).alias("_changed"), F.lit(0).alias("_msgs")
+        )
     if num_partitions:
         init = partition_by(init, num_partitions, "id", partitioner)
 

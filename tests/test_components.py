@@ -187,3 +187,57 @@ def test_alternating_checkpoint_resume(spark, tmp_path):
     )
     assert again.halted
     assert {r["id"]: r["label"] for r in again.state.collect()} == want
+
+
+def test_warm_start_equals_cold_after_edge_additions(spark):
+    # grow-only incremental: converge on a subset, add edges, warm start
+    ids, edges = rand_graph(300, 2, seed=7)
+    old_edges = edges[: len(edges) // 2]
+    new_edges = edges
+    old_labels, _ = _run(spark, ids, old_edges)
+    seed = spark.createDataFrame(
+        list(old_labels.items()), "id string, label string"
+    )
+    warm_labels, warm = _run(spark, ids, new_edges, initial_labels=seed)
+    cold_labels, cold = _run(spark, ids, new_edges)
+    assert warm_labels == cold_labels == cc_oracle(ids, new_edges)
+    assert warm.halted
+
+
+def test_warm_start_on_path_takes_fewer_rounds(spark):
+    # path 0-1-...-19 split into two halves: each converges internally,
+    # then ONE bridging edge merges them — the warm restart only has to
+    # flood the smaller min across the bridge, not rebuild the chain
+    ids = [f"{i:02d}" for i in range(20)]
+    half1 = [(ids[i], ids[i + 1]) for i in range(9)]
+    half2 = [(ids[i], ids[i + 1]) for i in range(10, 19)]
+    old_labels, _ = _run(spark, ids, half1 + half2)
+    seed = spark.createDataFrame(list(old_labels.items()), "id string, label string")
+    bridge = half1 + half2 + [(ids[9], ids[10])]
+    warm_labels, warm = _run(spark, ids, bridge, initial_labels=seed)
+    cold_labels, cold = _run(spark, ids, bridge)
+    assert warm_labels == cold_labels
+    assert all(lbl == ids[0] for lbl in warm_labels.values())
+    assert warm.supersteps < cold.supersteps
+
+
+def test_warm_start_with_new_vertices_and_encoding(spark):
+    # new vertices absent from the seed start at their own id; seed labels
+    # pass through dictionary encoding (both columns are vertex ids)
+    ids = ["a", "b", "c"]
+    old_labels, _ = _run(spark, ids, [("a", "b")])
+    seed = spark.createDataFrame(list(old_labels.items()), "id string, label string")
+    ids2 = ids + ["d", "e"]
+    labels, _ = _run(
+        spark, ids2, [("a", "b"), ("b", "c"), ("d", "e")], initial_labels=seed
+    )
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_warm_start_already_converged_halts_immediately(spark):
+    ids = list("abcdef")
+    old_labels, _ = _run(spark, ids, TWO_TRIANGLES)
+    seed = spark.createDataFrame(list(old_labels.items()), "id string, label string")
+    labels, res = _run(spark, ids, TWO_TRIANGLES, initial_labels=seed)
+    assert labels == old_labels
+    assert res.supersteps <= 2
