@@ -1054,6 +1054,58 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), seq_len=64, n_shards=8)
 
 
+def q_host_graph(spark, sf_dir):
+    """Quotient (host-level) graph: contract the edge table through the
+    deterministic id -> id % 101 grouping (the page->host mapping of
+    web-graph analysis), parallel edges collapsed into a weight,
+    intra-host edges dropped before the aggregation."""
+    from duwamish_spark.graph import contract_graph
+
+    e = _edges(spark, sf_dir)
+    v, _ = _graph(spark, sf_dir)
+    mapping = v.select("id", (F.col("id") % 101).alias("group"))
+    return contract_graph(e, mapping)
+
+
+def _bowtie_edges(spark, sf_dir):
+    """Sparse directed graph for the bow-tie gate: one edge per order
+    (l_linenumber = 1), 1-in-5 part filter, ids mod 1009 — ~1.2k vertices
+    / ~1.7k edges at sf0.01, which yields a genuine Broder bow tie
+    (measured regions: core 168 / in 511 / out 80 / tube 17 /
+    tendril_in 31 / tendril_out 58 / other_wcc 24 / disconnected 3).
+    The dense MOD-599 driver graph is one giant SCC — useless here."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.where(
+        (F.col("l_linenumber") == 1) & (F.col("l_partkey") % 5 == 0)
+    ).select(
+        (F.col("l_orderkey") % 1009).alias("src"),
+        (F.col("l_partkey") % 1009).alias("dst"),
+    )
+
+
+def q_bowtie_regions(spark, sf_dir):
+    """Broder bow-tie decomposition of the sparse directed graph:
+    (id, region) with region in {core, in, out, tube, tendril_in,
+    tendril_out, other_wcc, disconnected} — SCC (largest, min-id
+    tie-break) + six BFS closures, algorithms/bowtie.py."""
+    from duwamish_spark.algorithms import bowtie_decomposition
+    from duwamish_spark.graph import vertices_from
+
+    e = _bowtie_edges(spark, sf_dir)
+    return bowtie_decomposition(spark, vertices_from(None, e), e).state
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights: every document scored against the
+    src0-src2 slice as the target distribution — hashed-bigram add-one
+    log-likelihood ratio in integer micros (functions/importance.py)."""
+    from duwamish_spark.functions import importance_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source").isin("src0", "src1", "src2"))
+    return importance_weights(docs, target, k=2, n_buckets=256)
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup pairs (exact 3-gram Jaccard >= 0.2, the oracle-shared pair
     relation) collapsed into transitive duplicate groups by the engine's
@@ -1139,6 +1191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green r3 rows and untouched code this round.
     return {
         # -- 0. new in round 4 (never driver-checked) --
+        "host_graph": q_host_graph,
+        "bowtie_regions": q_bowtie_regions,
+        "dsir_weights": q_dsir_weights,
         "dedup_groups": q_dedup_groups,
         "source_cap": q_source_cap,
         "pagerank_dangling_fixed5": q_pagerank_dangling_fixed5,
@@ -2109,6 +2164,99 @@ _SCC_MUTUAL_SQL = f"""
     GROUP BY r1.id
 """
 
+# host-level quotient graph: contract endpoints through id -> id % 101,
+# intra-host edges dropped, parallel edges collapsed into a weight
+_HOST_GRAPH_SQL = f"""
+    WITH {_EDGE_CTE}
+    SELECT src % 101 AS src, dst % 101 AS dst, count(*) AS weight
+    FROM e WHERE src % 101 <> dst % 101 GROUP BY 1, 2
+"""
+
+# bow-tie ground truth on the sparse gate graph (_bowtie_edges): forward
+# transitive closure once, then every region boundary derived from it —
+# clause-for-clause the same CASE precedence as bowtie_decomposition
+_BOWTIE_SQL = """
+    WITH RECURSIVE
+    e AS (SELECT l_orderkey % 1009 AS src, l_partkey % 1009 AS dst
+          FROM lineitem WHERE l_linenumber = 1 AND l_partkey % 5 = 0),
+    -- explicit DISTINCT wrapper: inside a WITH RECURSIVE block this
+    -- DuckDB version evaluates a plain UNION between two branches of a
+    -- NON-recursive CTE as UNION ALL (measured: 1214 rows vs 892
+    -- distinct) — the other recursive oracles are immune because they
+    -- GROUP BY afterwards, but flags here is 1 row per v row
+    v AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) u),
+    de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+    reach(id, r) AS (SELECT id, id FROM v UNION
+                     SELECT reach.id, de.dst FROM reach JOIN de ON de.src = reach.r),
+    scc AS (SELECT r1.id AS id, min(r1.r) AS scc_id FROM reach r1
+            JOIN reach r2 ON r1.id = r2.r AND r1.r = r2.id GROUP BY r1.id),
+    core_lbl AS (SELECT scc_id FROM (SELECT scc_id, count(*) AS n FROM scc GROUP BY scc_id) t
+                 ORDER BY n DESC, scc_id ASC LIMIT 1),
+    core AS (SELECT id FROM scc WHERE scc_id = (SELECT scc_id FROM core_lbl)),
+    fwd AS (SELECT DISTINCT r.r AS id FROM reach r WHERE r.id IN (SELECT id FROM core)),
+    bwd AS (SELECT DISTINCT r.id AS id FROM reach r WHERE r.r IN (SELECT id FROM core)),
+    flags AS (SELECT v.id,
+      v.id IN (SELECT id FROM core) AS is_core,
+      v.id IN (SELECT id FROM fwd) AS in_fwd,
+      v.id IN (SELECT id FROM bwd) AS in_bwd
+      FROM v),
+    ins AS (SELECT id FROM flags WHERE in_bwd AND NOT is_core),
+    outs AS (SELECT id FROM flags WHERE in_fwd AND NOT is_core),
+    from_in AS (SELECT DISTINCT r.r AS id FROM reach r WHERE r.id IN (SELECT id FROM ins)),
+    to_out AS (SELECT DISTINCT r.id AS id FROM reach r WHERE r.r IN (SELECT id FROM outs)),
+    sym AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+    wreach(id, r) AS (SELECT id, id FROM core UNION
+                      SELECT wreach.id, sym.dst FROM wreach JOIN sym ON sym.src = wreach.r),
+    wcc AS (SELECT DISTINCT r AS id FROM wreach)
+    SELECT f.id,
+      CASE WHEN f.is_core THEN 'core'
+           WHEN f.in_bwd THEN 'in'
+           WHEN f.in_fwd THEN 'out'
+           WHEN f.id IN (SELECT id FROM from_in) AND f.id IN (SELECT id FROM to_out) THEN 'tube'
+           WHEN f.id IN (SELECT id FROM from_in) THEN 'tendril_in'
+           WHEN f.id IN (SELECT id FROM to_out) THEN 'tendril_out'
+           WHEN f.id IN (SELECT id FROM wcc) THEN 'other_wcc'
+           ELSE 'disconnected' END AS region
+    FROM flags f
+"""
+
+# DSIR importance weights: bigram instances (WITH multiplicity) hashed
+# into 256 buckets, target = src0-src2 slice, add-one smoothing, each
+# instance's log-ratio term rounded to integer micros BEFORE the per-doc
+# BIGINT sum (order-independent — same fixed-point discipline as the
+# engine, importance.py). The ln args are all integers so the floats are
+# engine-identical.
+_DSIR_SQL = r"""
+    WITH d AS (SELECT doc_id, source,
+                      regexp_split_to_array(trim(text), '\s+') AS arr
+               FROM documents WHERE length(trim(text)) > 0),
+    rinst AS (SELECT doc_id,
+                ('0x' || substring(md5('dsir:' || array_to_string(arr[i:i+1], ' ')), 1, 8))::UINTEGER::BIGINT % 256 AS bucket
+              FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+                    FROM d WHERE len(arr) >= 2) t),
+    tinst AS (SELECT
+                ('0x' || substring(md5('dsir:' || array_to_string(arr[i:i+1], ' ')), 1, 8))::UINTEGER::BIGINT % 256 AS bucket
+              FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+                    FROM d WHERE len(arr) >= 2
+                      AND source IN ('src0', 'src1', 'src2')) t),
+    cr AS (SELECT bucket, count(*) AS cr FROM rinst GROUP BY bucket),
+    ct AS (SELECT bucket, count(*) AS ct FROM tinst GROUP BY bucket),
+    nr AS (SELECT count(*) AS n FROM rinst),
+    nt AS (SELECT count(*) AS n FROM tinst),
+    terms AS (SELECT r.doc_id,
+                round(1e6 * (((ln(coalesce(ct.ct, 0) + 1) - ln(coalesce(cr.cr, 0) + 1))
+                              - ln((SELECT n FROM nt) + 256))
+                             + ln((SELECT n FROM nr) + 256)))::BIGINT AS term
+              FROM rinst r LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)),
+    agg AS (SELECT doc_id, count(*) AS n_ngrams, sum(term)::BIGINT AS weight_micros
+            FROM terms GROUP BY doc_id)
+    SELECT doc.doc_id AS doc_id,
+           coalesce(agg.n_ngrams, 0)::BIGINT AS n_ngrams,
+           coalesce(agg.weight_micros, 0)::BIGINT AS weight_micros
+    FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
+"""
+
 # shared by ngram_jaccard / minhash_near_dups / dedup_groups: the exact
 # 3-gram Jaccard pair relation (threshold 0.2) as CTEs ending in `npairs`
 _NGRAM_PAIR_CTES = r"""d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
@@ -2675,6 +2823,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_md5_sql(7),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_near_dups": _NGRAM_JACCARD_SQL,
+        "host_graph": _HOST_GRAPH_SQL,
+        "dsir_weights": _DSIR_SQL,
+        "bowtie_regions": _BOWTIE_SQL,
         "dedup_groups": _DEDUP_GROUPS_SQL,
         "source_cap": _source_cap_sql(7),
         "pagerank_dangling_fixed5": _pagerank_dangling_chain_sql(5),

@@ -20,6 +20,7 @@ from duwamish_spark.algorithms.anf import (
     neighborhood_function,
 )
 from duwamish_spark.algorithms.betweenness import betweenness_sampled
+from duwamish_spark.algorithms.bowtie import bowtie_decomposition, reachable_set
 from duwamish_spark.algorithms.densest import densest_subgraph
 from duwamish_spark.algorithms.mis import maximal_independent_set
 from duwamish_spark.algorithms.msf import (
@@ -42,6 +43,8 @@ from duwamish_spark.algorithms.structure import (
 
 __all__ = [
     "betweenness_sampled",
+    "bowtie_decomposition",
+    "reachable_set",
     "clustering_coefficient",
     "cocitation",
     "coreness",

@@ -1,0 +1,174 @@
+"""Data-selection importance weights — DSIR-style hashed n-gram
+log-likelihood ratios (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling").
+
+Given a RAW corpus to be resampled and a (much smaller) TARGET corpus
+that defines the distribution you want, score every raw document by
+
+    w(doc) = Σ_{g ∈ ngrams(doc)}  log p_target(bucket(g)) - log p_raw(bucket(g))
+
+where n-grams are hashed into a fixed number of buckets and each bucket
+distribution is add-one smoothed. High-weight documents look like the
+target; resampling the raw corpus by these weights (e.g. with
+``sampling.hash_split`` thresholds or a top-k cut) is the standard
+importance-resampling recipe for building a domain-matched training mix
+from a web-scale crawl.
+
+Determinism contract (the reason the output is integer micros): each
+n-gram instance's term is rounded to integer micros FIRST and the
+per-document sum runs over BIGINTs, so the result is independent of
+partitioning/combine order and replayable by the DuckDB oracle
+(same fixed-point discipline as link_prediction's Adamic-Adar sum).
+
+Scale shape: the two bucket-count tables are at most ``n_buckets`` rows
+(vocabulary-hash-sized BY CONSTRUCTION — this is why DSIR hashes), so
+they broadcast; scoring is ONE linear pass over the exploded n-gram
+instances with two broadcast joins and a map-side-combinable groupBy.
+No shuffle is ever larger than the token stream itself; the target
+corpus is read once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duwamish_spark.graph import require_columns
+
+
+def _ngram_instances(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, ngram) with MULTIPLICITY (DSIR counts every occurrence),
+    strictly: a doc with t tokens yields max(t - k + 1, 0) instances."""
+    from duwamish_spark.functions.text import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("t")
+    ).where(F.size("t") >= k)
+    return toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("t", i, k)),
+            )
+        ).alias("ngram"),
+    )
+
+
+def _bucket(col: Column, n_buckets: int, salt: str) -> Column:
+    """uint32(md5(salt:ngram)) % n_buckets — the sampling.py hash family,
+    replayable in DuckDB as ('0x' || substring(md5(...),1,8))::UINTEGER."""
+    from duwamish_spark.functions.sampling import _u32_of
+
+    return (_u32_of(col, salt) % n_buckets).cast("long")
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    k: int = 2,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Score every ``docs`` row against the ``target`` distribution.
+
+    Returns one row per input doc (docs with fewer than ``k`` tokens get
+    0 n-grams and weight 0): ``(id_col, n_ngrams, weight_micros)`` where
+    ``weight_micros`` is the DSIR log-likelihood-ratio sum in integer
+    micros:
+
+        term(b) = round(1e6 · (ln(ct[b]+1) − ln(cr[b]+1)
+                               − ln(Nt+B) + ln(Nr+B)))
+        weight_micros = Σ over the doc's n-gram instances of term(bucket)
+
+    with ct/cr the target/raw bucket instance counts, Nt/Nr the total
+    instance counts, B = ``n_buckets`` (add-one smoothing on both sides).
+    All four logs take INTEGER arguments, so the floats are identical
+    across engines; the rounding-then-BIGINT-sum makes the total
+    order-independent.
+
+    ``docs`` itself is the raw/reference distribution (the DSIR setup:
+    you reweight the corpus you are about to resample). Pass a distinct
+    ``target`` slice — e.g. a trusted source, a wiki dump, a curated set.
+    """
+    require_columns(docs, (id_col, text_col), "docs")
+    require_columns(target, (text_col,), "target")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    raw_inst = _ngram_instances(docs, k, id_col, text_col)
+    # target only needs (ngram); reuse the same builder with a dummy id
+    tgt_inst = _ngram_instances(
+        target.select(F.lit("_").alias("_tid"), F.col(text_col)),
+        k, "_tid", text_col,
+    )
+
+    raw_b = raw_inst.select(
+        "id", _bucket(F.col("ngram"), n_buckets, salt).alias("bucket")
+    )
+    tgt_b = tgt_inst.select(
+        _bucket(F.col("ngram"), n_buckets, salt).alias("bucket")
+    )
+
+    # the count tables are <= n_buckets rows (vocabulary-hash-sized BY
+    # CONSTRUCTION), so collecting them is a model-sized pull — the same
+    # boundedness argument as the SGD model broadcast. Re-parallelizing
+    # the collected rows (instead of joining the lazy aggregates) also
+    # means the scoring pass below re-reads only the RAW instance stream,
+    # not the aggregations.
+    spark = docs.sparkSession
+    ct_rows = tgt_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    ).collect()
+    cr_rows = raw_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr")
+    ).collect()
+    nt = sum(r["ct"] for r in ct_rows)
+    nr = sum(r["cr"] for r in cr_rows)
+    ct = spark.createDataFrame(
+        [(r["bucket"], r["ct"]) for r in ct_rows], "bucket long, ct long"
+    )
+    cr = spark.createDataFrame(
+        [(r["bucket"], r["cr"]) for r in cr_rows], "bucket long, cr long"
+    )
+
+    term = F.round(
+        F.lit(1e6)
+        * (
+            (
+                (F.log(F.coalesce("ct", F.lit(0)) + F.lit(1))
+                 - F.log(F.coalesce("cr", F.lit(0)) + F.lit(1)))
+                - F.log(F.lit(float(nt + n_buckets)))
+            )
+            + F.log(F.lit(float(nr + n_buckets)))
+        ),
+        0,
+    ).cast("long")
+
+    scored = (
+        raw_b.join(F.broadcast(ct), "bucket", "left")
+        .join(F.broadcast(cr), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(term).alias("weight_micros"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
+            F.coalesce("weight_micros", F.lit(0).cast("long")).alias(
+                "weight_micros"
+            ),
+        )
+    )

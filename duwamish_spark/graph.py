@@ -199,6 +199,67 @@ def canonical_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def contract_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    *,
+    weight_col: str | None = None,
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Quotient (coarsened) graph: map both endpoints of every edge through
+    ``mapping(id, group)`` and collapse parallel edges into a weight —
+    the page→host/page→domain contraction of web-graph analysis (a host
+    graph is ~100-1000x smaller than its page graph, so host-level
+    PageRank/CC/SCC run on a fraction of the data; pair with
+    ``pagerank(weight_col="weight")`` for weighted host rank).
+
+    - ``mapping``: ``(id, group)``; endpoints absent from the mapping keep
+      their own id (``group`` must therefore be the same type as the edge
+      endpoints). Partial mappings are legal — e.g. contract only one
+      site's pages.
+    - ``weight`` = number of original edges collapsed into the group pair,
+      or ``sum(weight_col)`` when the input edges already carry weights
+      (so contraction composes: contract(contract(e, m1), m2) keeps exact
+      multiplicities).
+    - ``drop_self_loops``: intra-group edges (the overwhelming majority on
+      real web graphs — most links are site-internal) are dropped by
+      default BEFORE the aggregation, so they never shuffle.
+
+    Scale shape: two E⋈V hash joins (Catalyst broadcasts the mapping when
+    it is small; AQE handles the skewed-group case) followed by one
+    map-side-combinable groupBy on (src, dst) — linear in E, no all-pairs
+    step anywhere. Output edges are distinct (src, dst) pairs.
+    """
+    require_columns(edges, ("src", "dst"), "edges")
+    require_columns(mapping, ("id", "group"), "mapping")
+    if weight_col is not None:
+        require_columns(edges, (weight_col,), "edges")
+    m_src = mapping.select(F.col("id").alias("src"), F.col("group").alias("_gs"))
+    m_dst = mapping.select(F.col("id").alias("dst"), F.col("group").alias("_gd"))
+    w = F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
+    e = (
+        edges.join(m_src, "src", "left")
+        .join(m_dst, "dst", "left")
+        .select(
+            F.coalesce("_gs", F.col("src")).alias("src"),
+            F.coalesce("_gd", F.col("dst")).alias("dst"),
+            w.alias("_w"),
+        )
+    )
+    if drop_self_loops:
+        e = e.where(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.sum("_w").alias("weight"))
+
+
+def repo_mapping(corpus: DataFrame) -> DataFrame:
+    """``(id, group)`` mapping from corpus file ids (``repo/path``, the
+    ``corpus_vertex_ids`` convention) to their repo — the link-graph
+    equivalent of the web's page→host mapping, for ``contract_graph``."""
+    return corpus.select(
+        F.concat_ws("/", "repo", "path").alias("id"), F.col("repo").alias("group")
+    ).distinct()
+
+
 def suggest_salt(
     edges: DataFrame,
     num_partitions: int,

@@ -490,3 +490,100 @@ def test_dedup_groups_matches_union_find(spark):
     assert got == want
     keepers = [i for i in ids if got[i] == i]
     assert sorted(keepers) == sorted(set(want.values()))
+
+
+# ---------------------------------------------------------------------------
+# importance_weights (DSIR)
+# ---------------------------------------------------------------------------
+
+def _dsir_brute(docs, tgt, B, K=2, salt="dsir"):
+    import hashlib
+    import math
+    from collections import Counter
+
+    def u32(s):
+        return int(hashlib.md5((salt + ":" + s).encode()).hexdigest()[:8], 16)
+
+    def ngrams(t):
+        toks = t.strip().split()
+        if len(toks) < K:
+            return []
+        return [" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)]
+
+    cr = Counter(u32(g) % B for _, t in docs for g in ngrams(t))
+    ct = Counter(u32(g) % B for _, t in tgt for g in ngrams(t))
+    nr, nt = sum(cr.values()), sum(ct.values())
+
+    def term(b):
+        return round(1e6 * (((math.log(ct.get(b, 0) + 1)
+                              - math.log(cr.get(b, 0) + 1))
+                             - math.log(nt + B)) + math.log(nr + B)))
+
+    return {
+        did: (len(ngrams(t)), sum(term(u32(g) % B) for g in ngrams(t)))
+        for did, t in docs
+    }
+
+
+def test_importance_weights_matches_brute(spark):
+    from duwamish_spark.functions import importance_weights
+
+    docs = [
+        ("d0", "the cat sat on the mat"),
+        ("d1", "spark runs a dag of stages over partitions"),
+        ("d2", "the dog sat on the log"),
+        ("d3", "x"),
+        ("d4", "  "),
+        ("d5", "the cat sat quietly near the dog"),
+    ]
+    tgt = [("t0", "the cat sat quietly"), ("t1", "the dog sat still")]
+    want = _dsir_brute(docs, tgt, B=64)
+    out = importance_weights(
+        spark.createDataFrame(docs, "doc_id string, text string"),
+        spark.createDataFrame(tgt, "doc_id string, text string"),
+        k=2, n_buckets=64,
+    )
+    got = {r["doc_id"]: (r["n_ngrams"], r["weight_micros"]) for r in out.collect()}
+    assert got == want
+    # target-like docs score above target-unlike ones
+    assert got["d5"][1] > got["d1"][1]
+
+
+def test_importance_weights_short_docs_get_zero(spark):
+    from duwamish_spark.functions import importance_weights
+
+    docs = spark.createDataFrame(
+        [("a", "one"), ("b", ""), ("c", "two tokens here")],
+        "doc_id string, text string",
+    )
+    tgt = spark.createDataFrame([("t", "two tokens here")], "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_ngrams"], r["weight_micros"])
+           for r in importance_weights(docs, tgt, k=2, n_buckets=16).collect()}
+    assert got["a"] == (0, 0) and got["b"] == (0, 0)
+    # c is the ONLY multi-token raw doc, so raw == target distribution
+    # and the log-ratio is exactly zero — the identity the fixed-point
+    # arithmetic must land on precisely
+    assert got["c"] == (2, 0)
+
+
+def test_importance_weights_stable_under_repartition(spark):
+    from duwamish_spark.functions import importance_weights
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"tok{i % 7} tok{i % 5} tok{i % 3} tok{i % 11}") for i in range(60)],
+        "doc_id string, text string",
+    )
+    tgt = docs.where("doc_id like 'd1%'")
+    a = sorted(map(tuple, importance_weights(docs, tgt).collect()))
+    b = sorted(map(tuple, importance_weights(docs.repartition(13), tgt).collect()))
+    assert a == b
+
+
+def test_importance_weights_rejects_bad_params(spark):
+    from duwamish_spark.functions import importance_weights
+
+    docs = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="k must"):
+        importance_weights(docs, docs, k=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        importance_weights(docs, docs, n_buckets=1)
