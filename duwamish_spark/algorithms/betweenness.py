@@ -33,7 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duwamish_spark.graph import partition_by, require_columns
-from duwamish_spark.pregel import free_local_checkpoint
+from duwamish_spark.pregel import (
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def betweenness_sampled(
@@ -70,7 +73,7 @@ def betweenness_sampled(
     de = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     if num_partitions:
         de = partition_by(de, num_partitions, "src", partitioner)
-    de = de.localCheckpoint(eager=True)
+    de = de.transform(local_checkpoint_stats_reset)
 
     # forward: discover (s, v) pairs level by level, sigma = exact
     # shortest-path counts (BIGINT sums)
@@ -79,7 +82,7 @@ def betweenness_sampled(
         F.col("id").alias("v"),
         F.lit(0).alias("dist"),
         F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint_stats_reset)
     frontier = state
     for t in range(1, max_depth + 1):
         msgs = (
@@ -99,9 +102,9 @@ def betweenness_sampled(
                 F.lit(t).alias("dist"),
                 F.col("nsigma").alias("sigma"),
             )
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
-        nxt = state.unionAll(new).localCheckpoint(eager=True)
+        nxt = state.unionAll(new).transform(local_checkpoint_stats_reset)
         free_local_checkpoint(state)
         if frontier is not state:
             free_local_checkpoint(frontier)
@@ -111,7 +114,7 @@ def betweenness_sampled(
         free_local_checkpoint(frontier)
 
     # backward: Brandes dependency accumulation, levels descending
-    cur = state.withColumn("delta", F.lit(0.0)).localCheckpoint(eager=True)
+    cur = state.withColumn("delta", F.lit(0.0)).transform(local_checkpoint_stats_reset)
     free_local_checkpoint(state)
     for t in range(max_depth - 1, -1, -1):
         wrows = cur.where(F.col("dist") == t + 1)
@@ -145,7 +148,7 @@ def betweenness_sampled(
                 .otherwise(cur["delta"])
                 .alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         free_local_checkpoint(cur)
         cur = nxt
@@ -167,7 +170,7 @@ def betweenness_sampled(
             F.coalesce("_ds", F.lit(0)).cast("long").alias("seed_dist_sum"),
             F.coalesce("_nr", F.lit(0)).cast("long").alias("seeds_reaching"),
         )
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
     free_local_checkpoint(cur)
     free_local_checkpoint(de)

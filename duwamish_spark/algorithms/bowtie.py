@@ -49,7 +49,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duwamish_spark.graph import require_columns, symmetrize
-from duwamish_spark.pregel import PregelResult, free_local_checkpoint
+from duwamish_spark.pregel import (
+    PregelResult,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def reachable_set(
@@ -79,9 +83,9 @@ def reachable_set(
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
-    reached = seeds.select("id").distinct().localCheckpoint(eager=True)
+    reached = seeds.select("id").distinct().transform(local_checkpoint_stats_reset)
     frontier = reached
     rounds = 0
     completed = False
@@ -92,7 +96,7 @@ def reachable_set(
                 .select(F.col("dst").alias("id"))
                 .distinct()
                 .join(reached, "id", "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
             if frontier is not reached:
                 free_local_checkpoint(frontier)
@@ -103,7 +107,7 @@ def reachable_set(
             rounds += 1
             # nxt is disjoint from reached (anti-join) and each side is
             # distinct, so unionAll preserves set semantics
-            new_reached = reached.unionAll(nxt).localCheckpoint(eager=True)
+            new_reached = reached.unionAll(nxt).transform(local_checkpoint_stats_reset)
             free_local_checkpoint(reached)
             reached = new_reached
             frontier = nxt
@@ -156,13 +160,13 @@ def bowtie_decomposition(
                             metrics=[], halted=scc_res.halted)
     core_lbl = top[0]["scc_id"]
     core = scc.where(F.col("scc_id") == F.lit(core_lbl)).select("id")
-    core = core.localCheckpoint(eager=True)
+    core = core.transform(local_checkpoint_stats_reset)
 
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     fwd, r1, c1 = reachable_set(spark, core, edges, max_rounds=max_rounds)
     bwd, r2, c2 = reachable_set(spark, core, rev, max_rounds=max_rounds)
-    ins = bwd.join(core, "id", "left_anti").localCheckpoint(eager=True)
-    outs = fwd.join(core, "id", "left_anti").localCheckpoint(eager=True)
+    ins = bwd.join(core, "id", "left_anti").transform(local_checkpoint_stats_reset)
+    outs = fwd.join(core, "id", "left_anti").transform(local_checkpoint_stats_reset)
     from_in, r3, c3 = reachable_set(spark, ins, edges, max_rounds=max_rounds)
     to_out, r4, c4 = reachable_set(spark, outs, rev, max_rounds=max_rounds)
     wcc, r5, c5 = reachable_set(
@@ -192,7 +196,7 @@ def bowtie_decomposition(
         .when(F.col("_w"), F.lit("other_wcc"))
         .otherwise(F.lit("disconnected"))
     )
-    state = flags.select("id", region.alias("region")).localCheckpoint(eager=True)
+    state = flags.select("id", region.alias("region")).transform(local_checkpoint_stats_reset)
     counts = {
         r["region"]: r["n"]
         for r in state.groupBy("region").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -32,6 +32,7 @@ from pyspark.storagelevel import StorageLevel
 
 from duwamish_spark.graph import decode_state, prepare_encoding, symmetrize
 from duwamish_spark.pregel import (
+    local_checkpoint_stats_reset,
     Pregel,
     PregelResult,
     combine_messages,
@@ -171,12 +172,12 @@ def connected_components_alternating(
             start_round = latest + 1
 
     if resumed is not None:
-        cur = resumed.localCheckpoint(eager=True)
+        cur = resumed.transform(local_checkpoint_stats_reset)
     else:
         cur = _sym(e.select("src", "dst"))
         if num_partitions:
             cur = cur.repartition(num_partitions, "src")
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.transform(local_checkpoint_stats_reset)
     cached: list[DataFrame] = [cur]
     if converged:
         start_round = max_rounds + 1  # resumed at a converged manifest: no work left
@@ -200,7 +201,7 @@ def connected_components_alternating(
         cur = _sym(small)
         if num_partitions:
             cur = cur.repartition(num_partitions, "src")
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.transform(local_checkpoint_stats_reset)
         cached.append(cur)
         # keep only the last 2 checkpointed edge sets in block-manager
         # storage (mirrors Pregel.run's cached-list cleanup)

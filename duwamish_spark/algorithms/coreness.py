@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from duwamish_spark.graph import canonical_edges, partition_by, require_columns
-from duwamish_spark.pregel import PregelResult, free_local_checkpoint
+from duwamish_spark.pregel import (
+    PregelResult,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def coreness(
@@ -61,12 +65,12 @@ def coreness(
     )
     if num_partitions:
         adj = partition_by(adj, num_partitions, "u", partitioner)
-    adj = adj.localCheckpoint(eager=True)
+    adj = adj.transform(local_checkpoint_stats_reset)
 
     est = (
         adj.groupBy(F.col("u").alias("id"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
 
     metrics_hist: list[dict] = []
@@ -84,7 +88,7 @@ def coreness(
             .groupBy(F.col("nid").alias("id"))
             .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("c"))
             .observe(obs, F.sum("c").alias("csum"))
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         csum = int(obs.get["csum"])
         rounds = t
@@ -99,7 +103,7 @@ def coreness(
     out = (
         vertices.join(est, "id", "left")
         .select("id", F.coalesce("c", F.lit(0)).cast("long").alias("coreness"))
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
     free_local_checkpoint(est)
     free_local_checkpoint(adj)

@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duwamish_spark.graph import partition_by, require_columns, symmetrize
-from duwamish_spark.pregel import PregelResult, free_local_checkpoint
+from duwamish_spark.pregel import (
+    PregelResult,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def densest_subgraph(
@@ -68,7 +72,7 @@ def densest_subgraph(
     alive = symmetrize(edges)  # both directions of distinct simple edges
     if num_partitions:
         alive = partition_by(alive, num_partitions, "src", partitioner)
-    alive = alive.localCheckpoint(eager=True)
+    alive = alive.transform(local_checkpoint_stats_reset)
 
     metrics_hist: list[dict] = []
     best: DataFrame | None = None
@@ -82,7 +86,7 @@ def densest_subgraph(
         deg = (
             alive.groupBy(F.col("src").alias("id"))
             .agg(F.count(F.lit(1)).alias("degree"))
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         tot = deg.agg(
             F.count(F.lit(1)).alias("v"), F.sum("degree").alias("e2")
@@ -120,7 +124,7 @@ def densest_subgraph(
         nxt = (
             alive.join(dropped, alive["src"] == dropped["id"], "left_anti")
             .join(dropped, alive["dst"] == dropped["id"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         free_local_checkpoint(alive)
         alive = nxt
@@ -141,13 +145,13 @@ def densest_subgraph(
             state = (
                 alive.groupBy(F.col("src").alias("id"))
                 .agg(F.count(F.lit(1)).alias("degree"))
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
     else:
         state = (
             alive.groupBy(F.col("src").alias("id"))
             .agg(F.count(F.lit(1)).alias("degree"))
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         if best is not None:
             free_local_checkpoint(best)

@@ -47,7 +47,12 @@ from duwamish_spark.graph import (
     prepare_encoding,
     require_columns,
 )
-from duwamish_spark.pregel import PregelResult, combine_messages, free_local_checkpoint
+from duwamish_spark.pregel import (
+    PregelResult,
+    combine_messages,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def hits(
@@ -90,7 +95,7 @@ def hits(
 
     state = verts.select(
         "id", F.lit(0.0).alias("auth"), F.lit(1.0).alias("hub")
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint_stats_reset)
     metrics_hist: list[dict] = []
     halted = False
     iters = 0
@@ -102,7 +107,7 @@ def hits(
             ).select("dst", F.col("hub").alias("m"))
             araw = combine_messages(
                 amsgs, [("araw", "m", "sum")], key="dst", salt=salt
-            ).withColumnRenamed("dst", "id").localCheckpoint(eager=True)
+            ).withColumnRenamed("dst", "id").transform(local_checkpoint_stats_reset)
 
             # hub half-step: sum raw auths over out-edges (E-shuffle by src)
             hmsgs = araw.hint("shuffle_hash").join(
@@ -110,7 +115,7 @@ def hits(
             ).select("src", F.col("araw").alias("m"))
             hraw = combine_messages(
                 hmsgs, [("hraw", "m", "sum")], key="src", salt=salt
-            ).withColumnRenamed("src", "id").localCheckpoint(eager=True)
+            ).withColumnRenamed("src", "id").transform(local_checkpoint_stats_reset)
 
             # L2 norms as broadcast 1-row aggs INSIDE the state job — no
             # driver round-trip per half-step (the reference's accumulator
@@ -156,7 +161,7 @@ def hits(
                     F.first("_hn").alias("hn"),
                 )
                 .select("id", "auth", "hub")
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
             mrow = dict(obs.get)
             delta = float(mrow["d"] or 0.0)

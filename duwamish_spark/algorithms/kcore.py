@@ -41,7 +41,11 @@ from duwamish_spark.graph import (
     require_columns,
     symmetrize,
 )
-from duwamish_spark.pregel import PregelResult, free_local_checkpoint
+from duwamish_spark.pregel import (
+    PregelResult,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def k_core(
@@ -77,7 +81,7 @@ def k_core(
     alive = symmetrize(e)
     if num_partitions:
         alive = partition_by(alive, num_partitions, "src", partitioner)
-    alive = alive.localCheckpoint(eager=True)
+    alive = alive.transform(local_checkpoint_stats_reset)
 
     metrics_hist: list[dict] = []
     halted = False
@@ -98,7 +102,7 @@ def k_core(
                 ).alias("nd"),
                 F.sum("degree").alias("ae"),
             )
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         dropped = deg.where(F.col("degree") < k).select("id")
         mrow = dict(obs.get)
@@ -115,7 +119,7 @@ def k_core(
         nxt = (
             alive.join(dropped, alive["src"] == dropped["id"], "left_anti")
             .join(dropped, alive["dst"] == dropped["id"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         for tmp in (alive, deg):
             free_local_checkpoint(tmp)
@@ -124,7 +128,7 @@ def k_core(
     if deg is None:  # max_rounds hit before fixpoint: degrees of last state
         deg = alive.groupBy(F.col("src").alias("id")).agg(
             F.count("*").alias("degree")
-        ).localCheckpoint(eager=True)
+        ).transform(local_checkpoint_stats_reset)
         free_local_checkpoint(alive)
 
     state = deg.where(F.col("degree") >= k)

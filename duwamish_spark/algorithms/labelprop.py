@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from duwamish_spark.graph import decode_state, prepare_encoding, symmetrize
-from duwamish_spark.pregel import Pregel, PregelResult, combine_messages
+from duwamish_spark.pregel import (
+    Pregel,
+    PregelResult,
+    combine_messages,
+    local_checkpoint_stats_reset,
+)
 
 
 def _lp_combine_update(
@@ -137,11 +142,11 @@ def label_propagation_delta(
     state = verts.select(
         "id", F.col("id").alias("label"), F.col("id").alias("_prev"),
         F.lit(1).alias("_changed"),
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint_stats_reset)
     cnt = (
         edges_sym.groupBy(F.col("dst").alias("id"), F.col("src").alias("label"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
 
     metrics_hist: list[dict] = []
@@ -187,7 +192,7 @@ def label_propagation_delta(
                     (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("c"),
                 )
                 .where(F.col("c") > 0)
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
             free_local_checkpoint(cnt)
             cnt = merged
@@ -214,7 +219,7 @@ def label_propagation_delta(
                 .otherwise(0)
                 .alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         free_local_checkpoint(state)
         state = nxt

@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duwamish_spark.graph import partition_by, require_columns, symmetrize
-from duwamish_spark.pregel import PregelResult, free_local_checkpoint
+from duwamish_spark.pregel import (
+    PregelResult,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def mis_priority(id_col: F.Column, seed: str = "mis") -> F.Column:
@@ -80,8 +84,8 @@ def maximal_independent_set(
 
     # undecided frontier: vertex set with fixed priorities
     und = vertices.select("id", mis_priority(F.col("id"), seed).alias("p"))
-    und = und.localCheckpoint(eager=True)
-    ue = sym.localCheckpoint(eager=True)  # edges among undecided vertices
+    und = und.transform(local_checkpoint_stats_reset)
+    ue = sym.transform(local_checkpoint_stats_reset)  # edges among undecided vertices
 
     decided_parts: list[DataFrame] = []
     metrics_hist: list[dict] = []
@@ -107,13 +111,13 @@ def maximal_independent_set(
             F.col("nm").isNull()
             | (F.struct(F.col("p"), F.col("id").alias("i")) > F.col("nm"))
         ).select("id")
-        winners = winners.localCheckpoint(eager=True)
+        winners = winners.transform(local_checkpoint_stats_reset)
         # losers: any undecided neighbor of a winner
         losers = (
             ue.join(winners.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         n_win = winners.count()
         n_lose = losers.count()
@@ -125,17 +129,17 @@ def maximal_independent_set(
                     "id", F.lit(False).alias("in_mis"),
                     F.lit(r).cast("long").alias("round"),
                 )
-            ).localCheckpoint(eager=True)
+            ).transform(local_checkpoint_stats_reset)
         )
         metrics_hist.append(
             {"superstep": r, "undecided": n_und, "winners": n_win, "losers": n_lose}
         )
         gone = winners.unionAll(losers)
-        nxt_und = und.join(gone, "id", "left_anti").localCheckpoint(eager=True)
+        nxt_und = und.join(gone, "id", "left_anti").transform(local_checkpoint_stats_reset)
         nxt_ue = (
             ue.join(gone.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(gone.withColumnRenamed("id", "dst"), "dst", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         for tmp in (und, ue, winners, losers):
             free_local_checkpoint(tmp)
@@ -158,7 +162,7 @@ def maximal_independent_set(
                 F.lit(None).cast("long").alias("round"),
             )
         )
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(local_checkpoint_stats_reset)
     for part in decided_parts:
         free_local_checkpoint(part)
     free_local_checkpoint(und)

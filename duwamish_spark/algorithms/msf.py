@@ -46,7 +46,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duwamish_spark.graph import require_columns
-from duwamish_spark.pregel import free_local_checkpoint
+from duwamish_spark.pregel import (
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def weighted_canonical_edges(
@@ -103,7 +106,7 @@ def _contract_selection(sel: DataFrame, max_jumps: int = 64) -> DataFrame:
         par.join(rev, ["c", "p"], "left_semi")
         .select("c", F.least("c", "p").alias("p"))
         .unionAll(par.join(rev, ["c", "p"], "left_anti"))
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
     for _ in range(max_jumps):
         # p2(c) = p(p(c))
@@ -116,12 +119,12 @@ def _contract_selection(sel: DataFrame, max_jumps: int = 64) -> DataFrame:
             .select(F.col("c"), F.col("p2").alias("p"), (F.col("p") != F.col("p2")).alias("ch"))
         )
         changed = nxt.where(F.col("ch")).limit(1).count()
-        nxt = nxt.select("c", "p").localCheckpoint(eager=True)
+        nxt = nxt.select("c", "p").transform(local_checkpoint_stats_reset)
         free_local_checkpoint(par)
         par = nxt
         if changed == 0:
             break
-    out = par.select("c", F.col("p").alias("root")).localCheckpoint(eager=True)
+    out = par.select("c", F.col("p").alias("root")).transform(local_checkpoint_stats_reset)
     free_local_checkpoint(par)
     return out
 
@@ -162,7 +165,7 @@ def minimum_spanning_forest(
             F.col("u").alias("cu"), F.col("v").alias("cv"), "w", "u", "v"
         )
         .repartition(p, "cu")
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
     labels: DataFrame | None = None  # (id, comp); None = identity
     forest_parts: list[DataFrame] = []
@@ -197,7 +200,7 @@ def minimum_spanning_forest(
                 F.col("m.w").alias("w"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         forest_parts.append(chosen)
 
@@ -212,7 +215,7 @@ def minimum_spanning_forest(
             labels = labels.join(roots, labels.comp == roots.c, "left").select(
                 "id", F.coalesce("root", "comp").alias("comp")
             )
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.transform(local_checkpoint_stats_reset)
 
         # 3. re-contract the edge relation onto the merged components,
         # keeping one min original edge per (cu, cv) pair
@@ -242,7 +245,7 @@ def minimum_spanning_forest(
                 F.col("m.v").alias("v"),
             )
             .repartition(p, "cu")
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         metrics.append(
             {
@@ -267,7 +270,7 @@ def minimum_spanning_forest(
     ).where(F.lit(False))
     for part in forest_parts[1:]:
         forest = forest.unionAll(part)
-    forest = forest.distinct().localCheckpoint(eager=True)
+    forest = forest.distinct().transform(local_checkpoint_stats_reset)
     for part in forest_parts:
         free_local_checkpoint(part)
     free_local_checkpoint(cur)
@@ -283,7 +286,7 @@ def minimum_spanning_forest(
         comps = verts.join(labels, "id", "left").select(
             "id", F.coalesce("comp", "id").alias("comp")
         )
-    comps = comps.localCheckpoint(eager=True)
+    comps = comps.transform(local_checkpoint_stats_reset)
     if labels is not None:
         free_local_checkpoint(labels)
 

@@ -53,7 +53,11 @@ from duwamish_spark.graph import (
     prepare_encoding,
     require_columns,
 )
-from duwamish_spark.pregel import PregelResult, free_local_checkpoint
+from duwamish_spark.pregel import (
+    PregelResult,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def strongly_connected_components(
@@ -92,8 +96,8 @@ def strongly_connected_components(
     )
     if num_partitions:
         alive_e = partition_by(alive_e, num_partitions, "src", partitioner)
-    alive_e = alive_e.localCheckpoint(eager=True)
-    alive_v = verts.select("id").localCheckpoint(eager=True)
+    alive_e = alive_e.transform(local_checkpoint_stats_reset)
+    alive_v = verts.select("id").transform(local_checkpoint_stats_reset)
 
     assigned: list[DataFrame] = []  # each checkpointed (id, scc_id)
     metrics_hist: list[dict] = []
@@ -113,12 +117,12 @@ def strongly_connected_components(
             keep = (
                 alive_v.join(has_out, "id", "left_semi")
                 .join(has_in, "id", "left_semi")
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
             trivial = (
                 alive_v.join(keep, "id", "left_anti")
                 .select("id", F.col("id").alias("scc_id"))
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
             n_trivial = trivial.count()
             _tick("trim", assigned=n_trivial)
@@ -131,7 +135,7 @@ def strongly_connected_components(
             nxt_e = (
                 alive_e.join(keep, alive_e["src"] == keep["id"], "left_semi")
                 .join(keep, alive_e["dst"] == keep["id"], "left_semi")
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
             free_local_checkpoint(alive_e)
             free_local_checkpoint(alive_v)
@@ -163,7 +167,7 @@ def strongly_connected_components(
                 )
                 .observe(obs, F.sum(F.col("_chg").cast("long")).alias("chg"))
                 .drop("_chg")
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
             changed = int(obs.get["chg"] or 0)
             _tick("color", changed=changed)
@@ -183,12 +187,12 @@ def strongly_connected_components(
             .join(cd, "dst")
             .where(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         reached = (
             color.where(F.col("id") == F.col("c"))
             .select("id")
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         frontier = reached
         while steps < max_rounds:
@@ -197,14 +201,14 @@ def strongly_connected_components(
                 .select(F.col("src").alias("id"))
                 .distinct()
                 .join(reached, "id", "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
             n_new = nf.count()
             _tick("confine", reached_new=n_new)
             if n_new == 0:
                 free_local_checkpoint(nf)
                 break
-            nr = reached.unionAll(nf).localCheckpoint(eager=True)
+            nr = reached.unionAll(nf).transform(local_checkpoint_stats_reset)
             if frontier is not reached:
                 free_local_checkpoint(frontier)
             free_local_checkpoint(reached)
@@ -213,7 +217,7 @@ def strongly_connected_components(
         done = (
             reached.join(color, "id")
             .select("id", F.col("c").alias("scc_id"))
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         assigned.append(done)
         nxt_v = alive_v.join(done, "id", "left_anti").localCheckpoint(
@@ -222,7 +226,7 @@ def strongly_connected_components(
         nxt_e = (
             alive_e.join(done, alive_e["src"] == done["id"], "left_anti")
             .join(done, alive_e["dst"] == done["id"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         for tmp in (alive_v, alive_e, color, same, reached):
             free_local_checkpoint(tmp)
@@ -249,7 +253,7 @@ def strongly_connected_components(
     # plan is a bare LogicalRDD either way); release the per-pass parts
     # and the id mapping now — similarity.py IVF leak lesson: never hand
     # back a plan over pinned blocks the caller can't free
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(local_checkpoint_stats_reset)
     for part in assigned:
         free_local_checkpoint(part)
     if mapping is not None:

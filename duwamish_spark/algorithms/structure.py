@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from duwamish_spark.graph import canonical_edges, require_columns
-from duwamish_spark.pregel import PregelResult, free_local_checkpoint
+from duwamish_spark.pregel import (
+    PregelResult,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def _simple_adjacency(edges: DataFrame) -> DataFrame:
@@ -330,7 +334,7 @@ def k_truss(
         raise ValueError("k must be >= 2")
     require_columns(edges, ("src", "dst"), "edges")
     need = k - 2
-    cur = canonical_edges(edges).localCheckpoint(eager=True)
+    cur = canonical_edges(edges).transform(local_checkpoint_stats_reset)
     n_prev = cur.count()
     metrics: list[dict] = []
     halted = n_prev == 0
@@ -356,7 +360,7 @@ def k_truss(
                 "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
             )
             .where(F.col("support") >= need)
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         n = nxt.count()
         rounds = t

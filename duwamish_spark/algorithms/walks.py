@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from duwamish_spark.graph import partition_by, require_columns
-from duwamish_spark.pregel import free_local_checkpoint
+from duwamish_spark.pregel import (
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def _step_hash(start: F.Column, walk: F.Column, step: int) -> F.Column:
@@ -82,10 +85,10 @@ def random_walks(
         (
             F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
         ).alias("idx"),
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint_stats_reset)
     degs = (
         adj.groupBy("src").agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
 
     if starts is None:
@@ -99,7 +102,7 @@ def random_walks(
             F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
         ).alias("walk"),
         F.col("start_id").alias("vertex"),
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint_stats_reset)
 
     frames = [cur]  # per-step checkpoints, freed after the final union
     out = [cur.select("start_id", "walk", F.lit(0).alias("step"), "vertex")]
@@ -120,7 +123,7 @@ def random_walks(
                 (F.col("vertex") == adj["src"]) & (F.col("pick") == adj["idx"]),
             )
             .select("start_id", "walk", F.col("dst").alias("vertex"))
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         cur = nxt
         frames.append(cur)
@@ -133,7 +136,7 @@ def random_walks(
     result = out[0]
     for part in out[1:]:
         result = result.unionAll(part)
-    result = result.localCheckpoint(eager=True)
+    result = result.transform(local_checkpoint_stats_reset)
     for tmp in frames + [adj, degs]:
         free_local_checkpoint(tmp)
     return result
@@ -192,17 +195,17 @@ def node2vec_walks(
     de = edges.select("src", "dst").distinct()
     if num_partitions:
         de = partition_by(de, num_partitions, "src", partitioner)
-    de = de.localCheckpoint(eager=True)
+    de = de.transform(local_checkpoint_stats_reset)
     adj = de.select(
         "src",
         "dst",
         (
             F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
         ).alias("idx"),
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint_stats_reset)
     degs = (
         adj.groupBy("src").agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
 
     if starts is None:
@@ -216,7 +219,7 @@ def node2vec_walks(
             F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
         ).alias("walk"),
         F.col("start_id").alias("vertex"),
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint_stats_reset)
 
     frames = [cur]
     out = [cur.select("start_id", "walk", F.lit(0).alias("step"), "vertex")]
@@ -240,7 +243,7 @@ def node2vec_walks(
                     (F.col("prev") == adj["src"]) & (F.col("pick") == adj["idx"]),
                 )
                 .select("start_id", "walk", "prev", F.col("dst").alias("vertex"))
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
         else:
             cand = (
@@ -282,7 +285,7 @@ def node2vec_walks(
                     F.col("vertex").alias("prev"),
                     F.col("cw").alias("vertex"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(local_checkpoint_stats_reset)
             )
         prev_col = "prev"
         cur = nxt
@@ -296,7 +299,7 @@ def node2vec_walks(
     result = out[0]
     for part in out[1:]:
         result = result.unionAll(part)
-    result = result.localCheckpoint(eager=True)
+    result = result.transform(local_checkpoint_stats_reset)
     for tmp in frames + [adj, degs, de]:
         free_local_checkpoint(tmp)
     return result

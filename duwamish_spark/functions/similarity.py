@@ -9,6 +9,8 @@ Everything is built-in higher-order functions (``zip_with`` /
 
 from __future__ import annotations
 
+from duwamish_spark.pregel import local_checkpoint_stats_reset
+
 import logging
 
 from pyspark.sql import Column, DataFrame
@@ -233,7 +235,7 @@ def kmeans_centroids(
             cent.select("cluster", F.col("centroid").alias("_prev"))
             .join(new, "cluster", "left")
             .select("cluster", F.coalesce("centroid", "_prev").alias("centroid"))
-            .localCheckpoint(eager=True)  # k rows; cuts the iterative lineage
+            .transform(local_checkpoint_stats_reset)  # k rows; cuts the iterative lineage
         )
         free_local_checkpoint(prev)  # superseded k-row block (no-op on iter 1)
     return cent
@@ -263,7 +265,7 @@ def kmeans_assign(
             F.col("id").alias(id_col),
             F.col("cluster").cast("long").alias("cluster"),
         )
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint_stats_reset)
     )
     free_local_checkpoint(cent)
     return out
@@ -344,7 +346,7 @@ def knn_cosine_ivf(
         )
         # materialize the (n*k)-row result so unpersisting `ranked` below
         # cannot force a recompute in the caller's later action
-        return out.localCheckpoint(eager=True)
+        return out.transform(local_checkpoint_stats_reset)
     finally:
         ranked.unpersist()
         # the quantizer's final k-row localCheckpoint is no longer needed

@@ -70,6 +70,44 @@ def free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def local_checkpoint_stats_reset(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that DROPS the copied plan stats.
+
+    Spark's checkpoint copies the source plan's size-in-bytes estimate
+    onto the resulting ``LogicalRDD``. In an iterative algorithm whose
+    update joins the previous state with a relation *derived from* that
+    state (eigenvector/HITS-style ``prev ⋈ combine(msgs(prev ⋈ e))``),
+    the estimates therefore MULTIPLY across iterations: digits(size)
+    roughly doubles per round, and by round ~25 Catalyst's
+    SizeInBytesOnlyStatsPlanVisitor is doing Toom-Cook multiplications
+    on million-digit BigIntegers — the driver appears hung inside stats
+    estimation (found via jstack; PageRank escapes only because its
+    update is anchored on the constant vertex relation, which keeps the
+    growth linear). Rebuilding the DataFrame from the checkpointed
+    internal RDD resets the estimate to the default, making per-round
+    planning cost CONSTANT in the round number at any scale.
+
+    No strategy regression: the copied estimates were astronomically
+    over the broadcast threshold anyway (products of Long.MaxValue), so
+    auto-broadcast never fired for these relations before either, and
+    AQE re-plans from real runtime sizes regardless.
+    ``free_local_checkpoint`` keeps working: the rebuilt plan is a bare
+    ``LogicalRDD`` over the SAME persisted RDD. Falls back to the plain
+    eager checkpoint if the internal constructor is unavailable.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        jrdd = jdf.queryExecution().analyzed().rdd()
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:
+        return ck
+
+
 def salt_subkey(value_cols: list[Column], salt: int) -> Column:
     """Reducer sub-key in [0, salt) for splitting a hot destination.
 
@@ -332,7 +370,7 @@ class Pregel:
                         obs,
                         F.count(F.lit(1)).alias("vertex_count"),
                         *[c.alias(n) for n, c in self.metrics_exprs.items()],
-                    ).localCheckpoint(eager=True)
+                    ).transform(local_checkpoint_stats_reset)
                     cached.append(new_state)
                     agg_row = dict(obs.get)
 

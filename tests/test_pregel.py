@@ -183,3 +183,56 @@ def test_salt_subkey_spreads_identical_values(spark):
     assert row["dst"] == 0
     assert row["mcnt"] == 80_000
     assert row["msum"] == 7.0 * 80_000
+
+
+def test_local_checkpoint_stats_reset_bounds_plan_stats(spark):
+    # Catalyst's checkpoint copies plan-size estimates onto the LogicalRDD;
+    # in a prev ⋈ derived-from-prev loop they then MULTIPLY per round
+    # (digits ~double), and by round ~25 stats estimation does Toom-Cook
+    # multiplications on million-digit BigIntegers — an apparent driver
+    # hang (found via jstack on eigenvector's tol loop). The reset variant
+    # must keep the estimate CONSTANT in the round number.
+    from pyspark.sql import functions as F
+
+    from duwamish_spark.pregel import (
+        free_local_checkpoint,
+        local_checkpoint_stats_reset,
+    )
+
+    def digits(df):
+        q = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return len(str(q))
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "c")],
+        "src string, dst string",
+    )
+    st = local_checkpoint_stats_reset(
+        e.select(F.col("src").alias("id"), F.lit(1.0).alias("value"))
+    )
+    base = digits(st)
+    for _ in range(6):
+        raw = local_checkpoint_stats_reset(
+            st.join(e, st["id"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("value").alias("raw"))
+            .withColumnRenamed("dst", "id")
+        )
+        nxt = local_checkpoint_stats_reset(
+            st.join(raw, "id", "left").select(
+                "id", F.coalesce(F.col("raw"), F.lit(0.0)).alias("value")
+            )
+        )
+        for tmp in (st, raw):
+            free_local_checkpoint(tmp)
+        st = nxt
+        assert digits(st) == base  # constant, not compounding
+    # rows and values still correct after 6 re-wraps
+    got = {r["id"]: r["value"] for r in st.collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    # free still works on the rebuilt plan: storage shrinks
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    free_local_checkpoint(st)
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after == before - 1
