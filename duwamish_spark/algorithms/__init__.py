@@ -1,4 +1,5 @@
 from duwamish_spark.algorithms.pagerank import pagerank, pagerank_step
+from duwamish_spark.algorithms.trust import spam_mass
 from duwamish_spark.algorithms.components import (
     connected_components,
     connected_components_alternating,
@@ -8,6 +9,10 @@ from duwamish_spark.algorithms.triangles import triangle_count, triangle_count_p
 from duwamish_spark.algorithms.sssp import shortest_paths
 from duwamish_spark.algorithms.recommend import recommendations
 from duwamish_spark.algorithms.hits import hits
+from duwamish_spark.algorithms.eigenvector import (
+    eigenvector_centrality,
+    katz_centrality,
+)
 from duwamish_spark.algorithms.kcore import k_core
 from duwamish_spark.algorithms.scc import strongly_connected_components
 from duwamish_spark.algorithms.walks import node2vec_walks, random_walks
@@ -15,6 +20,7 @@ from duwamish_spark.algorithms.anf import (
     anf_sketches,
     closeness_centrality,
     effective_diameter,
+    effective_diameter_estimate,
     harmonic_centrality,
     hll_estimates,
     neighborhood_function,
@@ -23,6 +29,8 @@ from duwamish_spark.algorithms.betweenness import betweenness_sampled
 from duwamish_spark.algorithms.bowtie import bowtie_decomposition, reachable_set
 from duwamish_spark.algorithms.densest import densest_subgraph
 from duwamish_spark.algorithms.mis import maximal_independent_set
+from duwamish_spark.algorithms.matching import maximal_matching
+from duwamish_spark.algorithms.coloring import greedy_coloring
 from duwamish_spark.algorithms.msf import (
     boruvka_min_edges,
     minimum_spanning_forest,
@@ -53,6 +61,8 @@ __all__ = [
     "boruvka_min_edges",
     "densest_subgraph",
     "maximal_independent_set",
+    "maximal_matching",
+    "greedy_coloring",
     "minimum_spanning_forest",
     "weighted_canonical_edges",
     "link_prediction",
@@ -62,6 +72,8 @@ __all__ = [
     "topological_depth",
     "recommendations",
     "hits",
+    "eigenvector_centrality",
+    "katz_centrality",
     "k_core",
     "strongly_connected_components",
     "node2vec_walks",
@@ -72,6 +84,8 @@ __all__ = [
     "neighborhood_function",
     "hll_estimates",
     "effective_diameter",
+    "effective_diameter_estimate",
+    "spam_mass",
     "pagerank",
     "pagerank_step",
     "connected_components",

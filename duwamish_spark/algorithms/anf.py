@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from duwamish_spark.graph import partition_by, require_columns
-from duwamish_spark.pregel import PregelResult, free_local_checkpoint
+from duwamish_spark.pregel import (
+    PregelResult,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 
 def _u32(col: F.Column, start: int) -> F.Column:
@@ -96,9 +100,9 @@ def anf_sketches(
     de = raw.where(F.col("src") != F.col("dst")).distinct()
     if num_partitions:
         de = partition_by(de, num_partitions, "dst", partitioner)
-    de = de.localCheckpoint(eager=True)
+    de = de.transform(local_checkpoint_stats_reset)
     reg, val = hll_register(F.col("id"), m)
-    state = verts.select("id", reg, val).localCheckpoint(eager=True)
+    state = verts.select("id", reg, val).transform(local_checkpoint_stats_reset)
 
     metrics_hist: list[dict] = []
     sig = None
@@ -118,7 +122,7 @@ def anf_sketches(
                 F.count(F.lit(1)).alias("rows"),
                 F.sum("val").alias("vs"),
             )
-            .localCheckpoint(eager=True)
+            .transform(local_checkpoint_stats_reset)
         )
         row = obs.get
         rounds = t
@@ -247,7 +251,7 @@ def _hop_ball_profile(
     ests: list[DataFrame] = []
 
     def _record(t: int, state: DataFrame) -> None:
-        ests.append(hll_estimates(state, m).localCheckpoint(eager=True))
+        ests.append(hll_estimates(state, m).transform(local_checkpoint_stats_reset))
 
     res = anf_sketches(
         spark,
@@ -372,7 +376,7 @@ def closeness_centrality(
         term = F.lit(float(t)) * (F.col(f"e{t}") - F.col(f"e{t-1}"))
         den = term if den is None else den + term
     expr = F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(F.round(num / den, 6))
-    out = cur.select("id", expr.alias("closeness")).localCheckpoint(eager=True)
+    out = cur.select("id", expr.alias("closeness")).transform(local_checkpoint_stats_reset)
     cleanup()
     return out
 
@@ -392,3 +396,65 @@ def effective_diameter(counts: list[float], q: float = 0.9) -> float:
                 return float(i)
             return (i - 1) + (target - prev) / (c - prev)
     return float(len(counts) - 1)
+
+
+def effective_diameter_estimate(
+    spark: SparkSession,
+    edges: DataFrame,
+    h: int,
+    *,
+    m: int = 64,
+    q: float = 0.9,
+    num_partitions: int | None = None,
+    partitioner=None,
+) -> tuple[float, list[int], PregelResult]:
+    """``(eff_diameter, [N(0)..N(h)] in integer micros, sketch result)``.
+
+    The oracle-replayable form of the neighborhood-function summary: the
+    per-hop totals are Σ_v round(est(v)·10⁶) summed as BIGINT — each
+    per-vertex HLL estimate is deterministic given the integer registers
+    (:func:`hll_estimates`), and rounding to micros BEFORE the global
+    sum makes the total independent of partition/accumulation order, so
+    an external engine replaying the sketch chain reproduces every hop
+    total bit-for-bit (the same trick as functions/importance.py's
+    per-instance micros). The interpolated diameter is then pure
+    arithmetic on those integers (:func:`effective_diameter` on their
+    exact float images — micros < 2⁵³ at any realistic V).
+
+    Per-hop cost on top of the superstep: one map-side-combinable
+    aggregate over the sketch relation — nothing V²; at 10^12 edges the
+    pass costs what ``anf_sketches`` costs.
+    """
+    micros = F.round(F.col("est") * 1e6, 0).cast("long")
+
+    def _total(s: DataFrame) -> int:
+        row = (
+            hll_estimates(s, m)
+            .agg(F.sum(micros).alias("n"))
+            .collect()[0]
+        )
+        return int(row["n"] or 0)
+
+    totals: list[int] = []
+
+    def _record(t: int, state: DataFrame) -> None:
+        totals.append(_total(state))
+
+    res = anf_sketches(
+        spark,
+        edges,
+        h,
+        m=m,
+        num_partitions=num_partitions,
+        partitioner=partitioner,
+        on_round=_record,
+    )
+    reg, val = hll_register(F.col("id"), m)
+    init = res.state.select("id").distinct().select("id", reg, val)
+    totals.insert(0, _total(init))
+    if len(totals) < h + 1:
+        last = _total(res.state)
+        totals.extend([last] * (h + 1 - len(totals)))
+    totals = totals[: h + 1]
+    ed = effective_diameter([float(c) for c in totals], q)
+    return ed, totals, res
