@@ -1192,6 +1192,19 @@ def q_dsir_weights(spark, sf_dir):
     return importance_weights(docs, target, k=2, n_buckets=256)
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling: the 40 documents selected by the
+    deterministic exponential race over the dsir_weights scores —
+    sample_key = ln(ln(1/u)) - weight_micros/1e6 with u the md5-u32 of
+    the doc id, smallest-n cut with an id tie-break
+    (functions/importance.py importance_resample)."""
+    from duwamish_spark.functions import importance_resample
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source").isin("src0", "src1", "src2"))
+    return importance_resample(docs, target, 40, k=2, n_buckets=256)
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup pairs (exact 3-gram Jaccard >= 0.2, the oracle-shared pair
     relation) collapsed into transitive duplicate groups by the engine's
@@ -1280,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "bowtie_regions": q_bowtie_regions,
         "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
         "dedup_groups": q_dedup_groups,
         "source_cap": q_source_cap,
         "pagerank_dangling_fixed5": q_pagerank_dangling_fixed5,
@@ -3140,6 +3154,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _NGRAM_JACCARD_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "dsir_weights": _DSIR_SQL,
+        "dsir_resample": (
+            "WITH w AS (" + _DSIR_SQL + "), "
+            "k AS (SELECT doc_id, round(ln(ln(4294967297.0 / "
+            "((('0x' || substring(md5('dsir#u:' || doc_id::VARCHAR), 1, 8))"
+            "::UINTEGER::BIGINT) + 1))) - weight_micros / 1000000.0, 6) "
+            "AS sample_key FROM w) "
+            "SELECT doc_id, sample_key FROM k "
+            "ORDER BY sample_key, doc_id LIMIT 40"
+        ),
         "bowtie_regions": _BOWTIE_SQL,
         "dedup_groups": _DEDUP_GROUPS_SQL,
         "source_cap": _source_cap_sql(7),

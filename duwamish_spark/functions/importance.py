@@ -172,3 +172,69 @@ def importance_weights(
             ),
         )
     )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int,
+    *,
+    k: int = 2,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic DSIR importance resampling: the ``n`` documents
+    selected by a weighted sampling-without-replacement race.
+
+    The DSIR recipe (Xie et al. 2023 §2) resamples the raw corpus with
+    probability ∝ exp(weight). The classic distributed formulation is
+    the exponential race / Gumbel-top-k (Efraimidis & Spirakis 2006):
+    draw ``u_i`` uniform per doc, keep the n smallest
+    ``-ln(u_i) / w_i``. Taking logs (monotone) gives the sort key
+
+        sample_key = ln(ln(1/u_i)) − weight_micros/10⁶
+
+    which never materializes ``exp(weight)`` (overflow-proof for any
+    weight) and stays in a small numeric range. ``u_i`` is the md5-u32
+    of the doc id under a sampling-specific salt, mapped to
+    ``(h+1)/(2³²+1) ∈ (0,1)`` — a pure function of (id, salt), so the
+    selected set is reproducible, partitioning-independent, and
+    engine-replayable (the key is rounded to 6 decimals with an id
+    tie-break before the cut).
+
+    Scale shape: one linear pass to key + a global top-n — Spark plans
+    ``orderBy().limit(n)`` as TakeOrderedAndProject (per-task partial
+    top-n, no full sort shuffle), so the cut moves ~n rows per task.
+    ``weights``: pass a precomputed :func:`importance_weights` result to
+    skip re-scoring (must carry ``id_col`` and ``weight_micros``).
+
+    Returns ``(id_col, sample_key)`` for the selected docs.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if weights is None:
+        weights = importance_weights(
+            docs, target, k=k, n_buckets=n_buckets,
+            id_col=id_col, text_col=text_col, salt=salt,
+        )
+    require_columns(weights, (id_col, "weight_micros"), "weights")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "#u:"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    key = F.round(
+        F.log(F.log(F.lit(4294967297.0) / (h + F.lit(1))))
+        - F.col("weight_micros") / F.lit(1000000.0),
+        6,
+    )
+    return (
+        weights.select(F.col(id_col), key.alias("sample_key"))
+        .orderBy("sample_key", id_col)
+        .limit(n)
+    )

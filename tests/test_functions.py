@@ -587,3 +587,89 @@ def test_importance_weights_rejects_bad_params(spark):
         importance_weights(docs, docs, k=0)
     with pytest.raises(ValueError, match="n_buckets"):
         importance_weights(docs, docs, n_buckets=1)
+
+
+def _resample_brute(weights, n, salt="dsir"):
+    """Pure-Python replay of importance_resample's race over given
+    {doc_id: weight_micros} — same float-op order, same tie-break."""
+    import hashlib
+    import math
+
+    keyed = []
+    for did, wm in weights.items():
+        h = int(hashlib.md5((salt + "#u:" + did).encode()).hexdigest()[:8], 16)
+        k = round(math.log(math.log(4294967297.0 / (h + 1))) - wm / 1000000.0, 6)
+        keyed.append((k, did))
+    keyed.sort()
+    return {(did, k) for k, did in keyed[:n]}
+
+
+def test_importance_resample_matches_brute(spark):
+    from duwamish_spark.functions import importance_resample, importance_weights
+
+    docs = [
+        ("d0", "the cat sat on the mat"),
+        ("d1", "spark runs a dag of stages over partitions"),
+        ("d2", "the dog sat on the log"),
+        ("d3", "x"),
+        ("d4", "the cat sat quietly near the dog"),
+        ("d5", "shuffle exchange hash aggregate codegen"),
+        ("d6", "the cat and the dog sat together"),
+        ("d7", "tokens and buckets and logs"),
+    ]
+    tgt = [("t0", "the cat sat quietly"), ("t1", "the dog sat still")]
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    tdf = spark.createDataFrame(tgt, "doc_id string, text string")
+    w = {
+        r["doc_id"]: r["weight_micros"]
+        for r in importance_weights(ddf, tdf, k=2, n_buckets=64).collect()
+    }
+    got = {
+        (r["doc_id"], r["sample_key"])
+        for r in importance_resample(ddf, tdf, 4, k=2, n_buckets=64).collect()
+    }
+    assert got == _resample_brute(w, 4)
+    # weights= fast path selects the identical set, and the selection is
+    # partitioning-independent (a pure function of ids + weights)
+    wdf = spark.createDataFrame(
+        [(d, int(m)) for d, m in w.items()], "doc_id string, weight_micros long"
+    ).repartition(7)
+    got2 = {
+        (r["doc_id"], r["sample_key"])
+        for r in importance_resample(ddf, tdf, 4, weights=wdf).collect()
+    }
+    assert got2 == got
+
+
+def test_importance_resample_favors_target_like_docs(spark):
+    # DSIR selects docs that look like the TARGET but are RARE in the raw
+    # corpus (the log-ratio penalizes anything already frequent in raw):
+    # 3 long target-phrased docs hidden among 57 junk docs, target with
+    # strong bigram counts -> the like docs' ~50e6-micro margin dwarfs
+    # the Gumbel noise of the race, so select-3 must find exactly them
+    from duwamish_spark.functions import importance_resample
+
+    phrase = "the quick brown fox jumps over the lazy dog near the river bank "
+    like = [(f"a{i}", phrase * 5) for i in range(3)]
+    junk = [
+        (f"z{i:02d}", f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+        for i in range(57)
+    ]
+    tgt = [(f"t{j}", phrase * 10) for j in range(2)]
+    ddf = spark.createDataFrame(like + junk, "doc_id string, text string")
+    tdf = spark.createDataFrame(tgt, "doc_id string, text string")
+    picked = sorted(
+        r["doc_id"]
+        for r in importance_resample(ddf, tdf, 3, k=2, n_buckets=256).collect()
+    )
+    assert picked == ["a0", "a1", "a2"]
+
+
+def test_importance_resample_validates(spark):
+    import pytest as _pytest
+
+    from duwamish_spark.functions import importance_resample
+
+    ddf = spark.createDataFrame([("d0", "a b")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="n must"):
+        importance_resample(ddf, ddf, 0)
