@@ -891,6 +891,19 @@ def q_rolling_fingerprints(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "fp")
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document shared-span pairs from winnowed fingerprints
+    (exact-substring dedup primitive): every shared fingerprint
+    certifies a shared run of >= k+window-1 = 31 chars; pairs ranked by
+    shared fingerprint count, threshold 2
+    (functions/dedup.py duplicate_spans)."""
+    from duwamish_spark.functions import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), k=24, window=8, min_shared=2
+    ).select("id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps"))
+
+
 LANG_MARKERS = {
     "en": ("the", "a"),
     "de": ("der", "die"),
@@ -1294,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_regions": q_bowtie_regions,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
+        "duplicate_spans": q_duplicate_spans,
         "dedup_groups": q_dedup_groups,
         "source_cap": q_source_cap,
         "pagerank_dangling_fixed5": q_pagerank_dangling_fixed5,
@@ -3118,6 +3132,23 @@ def oracle_sql() -> dict[str, str]:
                           + least(a.stop_ratio * 4.0, 1.0)
                           + (1.0 - a.punct_ratio)) / 3.0, 6) AS quality
             FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+        """,
+        "duplicate_spans": """
+            WITH n AS (SELECT doc_id,
+                              regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         [('0x' || substring(md5(t[i + 1 : i + 24]), 1, 8))::UINTEGER::BIGINT
+                          FOR i IN generate_series(0, greatest(length(t) - 24, 0))] AS hs
+                  FROM n),
+            w AS (SELECT doc_id,
+                         [list_aggregate(hs[i + 1 : i + 8], 'min')
+                          FOR i IN generate_series(0, greatest(len(hs) - 8, 0))] AS fps
+                  FROM h),
+            fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
         """,
         "rolling_fingerprints": r"""
             WITH n AS (SELECT doc_id,

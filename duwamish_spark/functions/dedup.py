@@ -877,3 +877,55 @@ def dedup_groups(
         F.coalesce("_grp", F.col("id")).alias("group"),
         (F.col("id") == F.coalesce("_grp", F.col("id"))).alias("keep"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document shared-span pairs from winnowed fingerprints —
+    the exact-substring dedup primitive (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", via the MOSS winnowing
+    guarantee instead of a suffix array).
+
+    Every shared fingerprint certifies a shared run of ≥ k+window−1
+    characters, so ``(id_a, id_b, shared_fps)`` with ``shared_fps ≥
+    min_shared`` ranks document pairs by how much literal text they
+    share — the boilerplate/mirror/quotation detector that Jaccard-style
+    whole-doc similarity misses on long documents sharing one licence
+    block.
+
+    Scale shape: the pair relation is keyed on fp — bucket collisions
+    only, never all-pairs. The quadratic risk is a BOILERPLATE
+    fingerprint present in F docs (F² pairs); ``max_df`` drops
+    fingerprints with document frequency above the cap before the join
+    (df-pruning, the same economics as minhash shingle pruning: a span
+    shared by thousands of docs identifies a template, not a duplicate
+    pair). At web scale always set it (e.g. 50); the default None keeps
+    the relation exact for oracle replay at test scale.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = rolling_fingerprints(
+        docs, k=k, window=window, id_col=id_col, text_col=text_col
+    )
+    if max_df is not None:
+        keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
+            F.col("_df") <= max_df
+        )
+        fps = fps.join(keep.select("fp"), "fp")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

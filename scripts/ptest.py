@@ -95,9 +95,36 @@ def main() -> int:
         procs.append((p, log, group))
         print(f"[worker {i}] {' '.join(group)}", flush=True)
 
+    # watchdog: a worker that exceeds its group budget by a wide margin is
+    # stuck (e.g. a driver-side planning stall), not slow — SIGABRT it so
+    # pytest's faulthandler dumps the Python stack into the log, then fail
+    # the run instead of hanging the whole suite indefinitely.
+    deadline = time.monotonic() + max(
+        900.0, 5.0 * max(DURATIONS.get(f, 60) for _, g in bins for f in g)
+    ) if any(g for _, g in bins) else time.monotonic() + 900.0
+
     failed = False
     for p, log, group in procs:
-        rc = p.wait()
+        while True:
+            try:
+                rc = p.wait(timeout=30)
+                break
+            except subprocess.TimeoutExpired:
+                if time.monotonic() > deadline:
+                    import signal
+
+                    print(
+                        f"[watchdog] {group[0]}… exceeded the suite deadline "
+                        f"— SIGABRT for a faulthandler stack dump",
+                        flush=True,
+                    )
+                    p.send_signal(signal.SIGABRT)
+                    try:
+                        rc = p.wait(timeout=60)
+                    except subprocess.TimeoutExpired:
+                        p.kill()
+                        rc = p.wait()
+                    break
         log.flush()
         tail = Path(log.name).read_text().strip().splitlines()
         summary = tail[-1] if tail else "(no output)"

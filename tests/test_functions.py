@@ -673,3 +673,72 @@ def test_importance_resample_validates(spark):
     ddf = spark.createDataFrame([("d0", "a b")], "doc_id string, text string")
     with _pytest.raises(ValueError, match="n must"):
         importance_resample(ddf, ddf, 0)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (winnowed exact-substring pair detection)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_finds_shared_block(spark):
+    from duwamish_spark.functions import duplicate_spans
+
+    block = "import org apache spark sql functions as F and then some"
+    docs = [
+        ("a", "left context " + block + " right context"),
+        ("b", "totally different prefix " + block),
+        ("c", "no overlap here at all zq xw vu ts rq"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fps"]
+             for r in duplicate_spans(df, k=8, window=4, min_shared=1).collect()}
+    assert ("a", "b") in pairs and pairs[("a", "b")] >= 2
+    assert all(k == ("a", "b") for k in pairs), pairs  # c pairs with nobody
+
+
+def test_duplicate_spans_winnowing_guarantee(spark):
+    # two docs sharing EXACTLY a (k + window - 1)-char run must share at
+    # least one fingerprint (the MOSS guarantee), and id_a < id_b
+    from duwamish_spark.functions import duplicate_spans
+
+    k, w = 8, 4
+    run = "zxqwvuty" + "abc" * ((k + w - 1 - 8 + 2) // 3)
+    run = run[: k + w - 1]
+    assert len(run) == k + w - 1
+    docs = [
+        ("d2", "PAD1 PAD1 " + run + " TAILX"),
+        ("d1", "OTHER pad " + run + " YTAIL"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = duplicate_spans(df, k=k, window=w, min_shared=1).collect()
+    assert rows and all(r["id_a"] < r["id_b"] for r in rows)
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {("d1", "d2")}
+
+
+def test_duplicate_spans_max_df_prunes_boilerplate(spark):
+    # a licence block welded into EVERY doc is a template, not a dup pair:
+    # with max_df below the doc count its fingerprints must not produce
+    # pairs, while a rarer shared block still does
+    from duwamish_spark.functions import duplicate_spans
+
+    licence = "this file is licensed under the apache license version two"
+    rare = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [(f"n{i}", f"doc{i} body {licence} trailer{i}") for i in range(6)]
+    docs += [("r1", "xx " + rare + " yy"), ("r2", "zz " + rare + " ww " + licence)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    pruned = {(r["id_a"], r["id_b"])
+              for r in duplicate_spans(df, k=8, window=4, min_shared=1, max_df=3).collect()}
+    assert ("r1", "r2") in pruned
+    assert not any(a.startswith("n") or b.startswith("n") for a, b in pruned), pruned
+    full = {(r["id_a"], r["id_b"])
+            for r in duplicate_spans(df, k=8, window=4, min_shared=1).collect()}
+    assert any(a.startswith("n") and b.startswith("n") for a, b in full)
+
+
+def test_duplicate_spans_validates(spark):
+    import pytest as _pytest
+
+    from duwamish_spark.functions import duplicate_spans
+
+    df = spark.createDataFrame([("a", "b c")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="min_shared"):
+        duplicate_spans(df, min_shared=0)
