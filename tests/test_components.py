@@ -241,3 +241,17 @@ def test_warm_start_already_converged_halts_immediately(spark):
     labels, res = _run(spark, ids, TWO_TRIANGLES, initial_labels=seed)
     assert labels == old_labels
     assert res.supersteps <= 2
+
+
+def test_hash_min_long_path_many_rounds(spark):
+    # high-diameter regression gate for the stats-reset sweep: hash-min on
+    # a 48-vertex path needs ~47 rounds; pre-sweep, each round DOUBLED the
+    # checkpointed plan's size-estimate digits (2^47-digit BigInteger
+    # stats by the end -- the suite would never finish), post-sweep the
+    # per-round planning cost is constant. Labels must still be exact.
+    ids = [f"v{i:02d}" for i in range(48)]
+    path = [(f"v{i:02d}", f"v{i+1:02d}") for i in range(47)]
+    labels, res = _run(spark, ids, path, algorithm="hashmin", max_supersteps=60)
+    assert res.halted
+    assert res.supersteps >= 40  # genuinely a long-haul run
+    assert set(labels.values()) == {"v00"} and len(labels) == 48
