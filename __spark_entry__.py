@@ -1218,6 +1218,18 @@ def q_dsir_resample(spark, sf_dir):
     return importance_resample(docs, target, 40, k=2, n_buckets=256)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed training-data curation pass (exact-dedup keepers ->
+    quality >= 0.5 -> cap 20 per source -> content-keyed 98/1/1 split)
+    as ONE declarative DataFrame graph — every stage is standalone-
+    oracled; this gates the composition (functions/pipeline.py)."""
+    from duwamish_spark.functions import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir), min_quality=0.5, per_source_cap=20
+    )
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup pairs (exact 3-gram Jaccard >= 0.2, the oracle-shared pair
     relation) collapsed into transitive duplicate groups by the engine's
@@ -1308,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "duplicate_spans": q_duplicate_spans,
+        "curation_pipeline": q_curation_pipeline,
         "dedup_groups": q_dedup_groups,
         "source_cap": q_source_cap,
         "pagerank_dangling_fixed5": q_pagerank_dangling_fixed5,
@@ -1348,9 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_converged": q_cc_converged,
         "cc_converged_shuffle": q_cc_converged_shuffle,
         "cc_auto_algorithm": q_cc_auto_algorithm,
-        "cc_alternating": q_cc_alternating,
         "lp_round3": q_lp_round3,
-        "lp_round3_shuffle": q_lp_round3_shuffle,
         "lp_round3_delta": q_lp_round3_delta,
         # -- 3. flagship set --
         "graph_out_degree": q_out_degree,
@@ -1397,6 +1408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window to make room for the 4 round-4 algorithms above
         # single-round variants subsumed by their converged siblings
         # (which stay in-window); displaced for pagerank_converged room
+        # alternating-star and the salted-LP variant: r3-green, their
+        # shared machinery stays gated in-window (cc_converged_shuffle
+        # for the salted combine, the long-path pytest gate for
+        # high-round CC); displaced for the two new pipeline queries
+        "cc_alternating": q_cc_alternating,
+        "lp_round3_shuffle": q_lp_round3_shuffle,
         "cc_round1": q_cc_round1,
         "lp_round1": q_lp_round1,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2351,6 +2368,51 @@ def _pack_sequences_sql() -> str:
     """
 
 
+def _curation_pipeline_sql(min_quality: float = 0.5, cap: int = 20) -> str:
+    """Replays curate_corpus end-to-end: exact-dedup keepers -> the
+    doc_quality float-op replay -> windowed per-source cap over the
+    SURVIVING set -> hash_split thresholds from the shared helper."""
+    from duwamish_spark.functions.sampling import split_thresholds
+
+    bounds = split_thresholds({"train": 0.98, "validation": 0.01, "test": 0.01})
+    case = f"CASE WHEN c.doc_id IS NULL THEN '{bounds[0][0]}'"
+    for name, ub in bounds[:-1]:
+        case += f" WHEN su.u < {ub} THEN '{name}'"
+    case += f" ELSE '{bounds[-1][0]}' END"
+    return f"""
+        WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        kept AS (SELECT d.doc_id, d.source, d.text FROM documents d
+                 JOIN keepers k ON k.doc_id = d.doc_id),
+        t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM kept WHERE length(trim(text)) > 0),
+        agg AS (SELECT doc_id, count(*) AS n_tokens,
+                       round(sum(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) * 1.0
+                             / count(*), 6) AS stop_ratio,
+                       round(sum(length(regexp_replace(tok, '[A-Za-z0-9]', '', 'g'))) * 1.0
+                             / sum(length(tok)), 6) AS punct_ratio
+                FROM t GROUP BY doc_id),
+        q AS (SELECT doc_id,
+                     round((least(n_tokens / 100.0, 1.0)
+                            + least(stop_ratio * 4.0, 1.0)
+                            + (1.0 - punct_ratio)) / 3.0, 6) AS quality
+              FROM agg),
+        f AS (SELECT kept.doc_id, kept.source, q.quality
+              FROM kept JOIN q ON q.doc_id = kept.doc_id
+              WHERE q.quality >= {min_quality}),
+        r AS (SELECT doc_id, source, quality,
+                     row_number() OVER (PARTITION BY source ORDER BY
+                       ('0x' || substring(md5('cap:' || doc_id::VARCHAR), 1, 8))::UINTEGER::BIGINT,
+                       doc_id) AS cap_rank
+              FROM f),
+        c AS (SELECT * FROM r WHERE cap_rank <= {cap}),
+        su AS (SELECT doc_id, ('0x' || substring(md5('split:' || doc_id::VARCHAR), 1, 8))::UINTEGER::BIGINT AS u
+               FROM c)
+        SELECT c.doc_id, c.source, c.quality, c.cap_rank::BIGINT AS cap_rank,
+               {case} AS split
+        FROM c JOIN su ON su.doc_id = c.doc_id
+    """
+
+
 def _doc_split_sql() -> str:
     """Replays hash_split's integer-threshold assignment; bounds come
     from the SAME split_thresholds() the engine uses."""
@@ -3055,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens, round(avg(length(tok)), 6) AS avg_token_len
             FROM t GROUP BY doc_id
         """,
+        "curation_pipeline": _curation_pipeline_sql(),
         "doc_split": _doc_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "contamination": r"""
