@@ -255,6 +255,23 @@ def q_katz_round3(spark, sf_dir):
     return res.state.select("id", F.round("value", 6).alias("value"))
 
 
+def q_salsa_round3(spark, sf_dir):
+    """SALSA (Lempel & Moran 2000), 3 fixed iterations of the bipartite
+    hub/authority walk — degree-normalized HITS with the 1/deg weights
+    folded into the persisted edge tables; auth and hub stay probability
+    distributions every iteration, no normalization step exists
+    (algorithms/salsa.py)."""
+    from duwamish_spark.algorithms import salsa
+
+    v, e = _graph(spark, sf_dir)
+    res = salsa(spark, v, e, max_iters=3, tol=0.0)
+    return res.state.select(
+        "id",
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_kcore_converged(spark, sf_dir):
     """k-core membership + in-core degree at k=140 on the symmetrized
     simple graph, peeled to fixpoint."""
@@ -1315,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green r3 rows and untouched code this round.
     return {
         # -- 0. new in round 4 (never driver-checked) --
+        "salsa_round3": q_salsa_round3,
         "host_graph": q_host_graph,
         "bowtie_regions": q_bowtie_regions,
         "dsir_weights": q_dsir_weights,
@@ -1738,6 +1756,41 @@ def _hits_chain_sql(iters: int) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT a{iters}.id AS id, round(auth, 6) AS auth, round(hub, 6) AS hub"
         + f"\nFROM a{iters} JOIN h{iters} ON h{iters}.id = a{iters}.id"
+    )
+
+
+def _salsa_chain_sql(iters: int) -> str:
+    """Chained-CTE SALSA replay: degree weights wf = 1.0/outdeg,
+    wb = 1.0/indeg folded into edge relations (the engine's persisted
+    e_fwd/e_bwd), then per iteration auth = Σ hub·wf by dst and
+    hub = Σ auth·wb by src — same float op order as algorithms/salsa.py
+    (multiply by the precomputed reciprocal, never divide). The sparse
+    a{i}/h{i} relations chain by plain JOINs: every dst has in-edges and
+    every src has out-edges by construction, so no coalesce is needed
+    until the final V-row projection."""
+    ctes = [
+        _EDGE_CTE, _VERT_CTE,
+        "od AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "idg AS (SELECT dst, count(*) AS idg FROM e GROUP BY dst)",
+        "ef AS (SELECT e.src, e.dst, 1.0 / od.od AS wf FROM e JOIN od ON od.src = e.src)",
+        "eb AS (SELECT e.src, e.dst, 1.0 / idg.idg AS wb FROM e JOIN idg ON idg.dst = e.dst)",
+        "h0 AS (SELECT od.src AS id, 1.0 / (SELECT count(*) FROM od) AS hub FROM od)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT ef.dst AS id, sum(h.hub * ef.wf) AS a FROM ef "
+            f"JOIN h{i-1} h ON h.id = ef.src GROUP BY ef.dst)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT eb.src AS id, sum(a.a * eb.wb) AS hub FROM eb "
+            f"JOIN a{i} a ON a.id = eb.dst GROUP BY eb.src)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v.id AS id, round(coalesce(a.a, 0), 6) AS auth, "
+        + "round(coalesce(h.hub, 0), 6) AS hub"
+        + f"\nFROM v LEFT JOIN a{iters} a ON a.id = v.id "
+        + f"LEFT JOIN h{iters} h ON h.id = v.id"
     )
 
 
@@ -3069,6 +3122,7 @@ def oracle_sql() -> dict[str, str]:
         "topo_depth_round3": _topo_chain_sql(TOPO_ROUNDS),
         "cocitation_top3": _cocitation_sql(COCITE_K, False),
         "bib_coupling_top3": _cocitation_sql(COCITE_K, True),
+        "salsa_round3": _salsa_chain_sql(3),
         "eigenvector_round3": _eigenvector_chain_sql(3),
         "katz_round3": _katz_chain_sql(3, 0.1, 1.0),
         "spam_mass_fixed10": _spam_mass_chain_sql(10),

@@ -9,6 +9,7 @@ from duwamish_spark.algorithms.triangles import triangle_count, triangle_count_p
 from duwamish_spark.algorithms.sssp import shortest_paths
 from duwamish_spark.algorithms.recommend import recommendations
 from duwamish_spark.algorithms.hits import hits
+from duwamish_spark.algorithms.salsa import salsa
 from duwamish_spark.algorithms.eigenvector import (
     eigenvector_centrality,
     katz_centrality,
@@ -72,6 +73,7 @@ __all__ = [
     "topological_depth",
     "recommendations",
     "hits",
+    "salsa",
     "eigenvector_centrality",
     "katz_centrality",
     "k_core",
