@@ -549,6 +549,18 @@ def q_lp_round3(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3).state
 
 
+def q_louvain_round2(spark, sf_dir):
+    """Two deterministic Louvain move rounds (direction-alternating,
+    exact DECIMAL(38,0) gains, smallest-community tie-break) — the
+    modularity-objective community operator (algorithms/louvain.py).
+    Oracle: chained CTEs replaying both rounds in HUGEINT."""
+    from duwamish_spark.algorithms import louvain
+
+    v, e = _graph(spark, sf_dir)
+    res = louvain(spark, v, e, max_rounds=2)
+    return res.state.select("id", F.col("comm").cast("long").alias("comm"))
+
+
 def q_lp_round3_shuffle(spark, sf_dir):
     """lp_round3 through the forced shuffle strategy (auto picks broadcast
     at V=599) — oracle-gates LP's scale path: the two-stage mode combine
@@ -1332,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green r3 rows and untouched code this round.
     return {
         # -- 0. new in round 4 (never driver-checked) --
+        "louvain_round2": q_louvain_round2,
         "salsa_round3": q_salsa_round3,
         "host_graph": q_host_graph,
         "bowtie_regions": q_bowtie_regions,
@@ -1465,6 +1478,54 @@ def _lp_chain_sql(steps: int) -> str:
     return (
         "WITH " + ",\n".join(_lp_chain_ctes(steps))
         + f"\nSELECT id, label FROM l{steps}"
+    )
+
+
+def _louvain_chain_sql(rounds: int) -> str:
+    """Replay of algorithms/louvain.py's move rounds: integer weights,
+    HUGEINT scores (== Spark DECIMAL(38,0)), direction-alternating
+    moves (odd rounds c < a, even rounds c > a), strict improvement,
+    smallest-community tie-break."""
+    ctes = [
+        _EDGE_CTE,
+        _VERT_CTE,
+        ("und AS (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi, "
+         "count(*)::BIGINT AS w FROM e WHERE src <> dst GROUP BY 1, 2)"),
+        ("symw AS (SELECT lo AS u, hi AS v, w FROM und "
+         "UNION ALL SELECT hi AS u, lo AS v, w FROM und)"),
+        ("s AS (SELECT v.id, coalesce(sum(symw.w), 0)::BIGINT AS st "
+         "FROM v LEFT JOIN symw ON symw.u = v.id GROUP BY v.id)"),
+        "tm AS (SELECT sum(st)::BIGINT AS m2 FROM s)",
+        "c0 AS (SELECT id, id AS comm FROM v)",
+    ]
+    for i in range(1, rounds + 1):
+        op = "<" if i % 2 == 1 else ">"
+        ctes += [
+            (f"sig{i} AS (SELECT c.comm, sum(s.st)::BIGINT AS tot "
+             f"FROM c{i-1} c JOIN s ON s.id = c.id GROUP BY c.comm)"),
+            (f"k{i} AS (SELECT symw.u AS id, c.comm AS c, sum(symw.w)::BIGINT AS kw "
+             f"FROM symw JOIN c{i-1} c ON c.id = symw.v GROUP BY 1, 2)"),
+            (f"b{i} AS (SELECT c.id, c.comm AS a, s.st AS st, g.tot AS tota, "
+             f"coalesce(k.kw, 0)::BIGINT AS kwa "
+             f"FROM c{i-1} c JOIN s ON s.id = c.id "
+             f"JOIN sig{i} g ON g.comm = c.comm "
+             f"LEFT JOIN k{i} k ON k.id = c.id AND k.c = c.comm)"),
+            (f"mv{i} AS (SELECT k.id, k.c, "
+             f"CAST(t.m2 AS HUGEINT) * k.kw - CAST(b.st AS HUGEINT) * g.tot AS score "
+             f"FROM k{i} k JOIN b{i} b ON b.id = k.id "
+             f"JOIN sig{i} g ON g.comm = k.c CROSS JOIN tm t "
+             f"WHERE k.c {op} b.a)"),
+            (f"bs{i} AS (SELECT id, c, score, row_number() OVER "
+             f"(PARTITION BY id ORDER BY score DESC, c ASC) AS rn FROM mv{i})"),
+            (f"c{i} AS (SELECT b.id, CASE WHEN m.score IS NOT NULL AND m.score > "
+             f"CAST(t.m2 AS HUGEINT) * b.kwa - CAST(b.st AS HUGEINT) * (b.tota - b.st) "
+             f"THEN m.c ELSE b.a END AS comm "
+             f"FROM b{i} b LEFT JOIN bs{i} m ON m.id = b.id AND m.rn = 1 "
+             f"CROSS JOIN tm t)"),
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(comm AS BIGINT) AS comm FROM c{rounds}"
     )
 
 
@@ -3088,6 +3149,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN (SELECT id, m FROM pick WHERE rn = 1) p ON p.id = v.id
         """,
         "lp_round3": _lp_chain_sql(3),
+        "louvain_round2": _louvain_chain_sql(2),
         "lp_round3_delta": _lp_chain_sql(3),
         "lp_round3_shuffle": _lp_chain_sql(3),
         "triangles_per_vertex": f"""

@@ -5,6 +5,7 @@ from duwamish_spark.algorithms.components import (
     connected_components_alternating,
 )
 from duwamish_spark.algorithms.labelprop import label_propagation
+from duwamish_spark.algorithms.louvain import louvain
 from duwamish_spark.algorithms.triangles import triangle_count, triangle_count_per_vertex
 from duwamish_spark.algorithms.sssp import shortest_paths
 from duwamish_spark.algorithms.recommend import recommendations
@@ -93,6 +94,7 @@ __all__ = [
     "connected_components",
     "connected_components_alternating",
     "label_propagation",
+    "louvain",
     "triangle_count",
     "triangle_count_per_vertex",
     "shortest_paths",
