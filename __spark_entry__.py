@@ -1125,6 +1125,20 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(_chunked_docs(spark, sf_dir))
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """CCNet-style per-host boilerplate removal over the chunked
+    documents (host = source): 8-token segments present in >= 2 docs and
+    >= 5% of a host's docs are stripped host-locally. Thresholds chosen
+    so both branches bite at the gate SF (some docs lose lines, most
+    keep all)."""
+    from duwamish_spark.functions import boilerplate_strip
+
+    docs = _chunked_docs(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    )
+    return boilerplate_strip(docs, min_docs=2, min_frac=0.05)
+
+
 def _pii_laced_docs(spark, sf_dir):
     """documents with PII-shaped spans synthesized deterministically from
     doc_id and the leading tokens (the corpus text is digit-free word soup,
@@ -1345,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- 0. new in round 4 (never driver-checked) --
         "louvain_round2": q_louvain_round2,
+        "boilerplate_strip": q_boilerplate_strip,
         "salsa_round3": q_salsa_round3,
         "host_graph": q_host_graph,
         "bowtie_regions": q_bowtie_regions,
@@ -1394,12 +1409,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_auto_algorithm": q_cc_auto_algorithm,
         "lp_round3": q_lp_round3,
         "lp_round3_delta": q_lp_round3_delta,
-        # -- 3. flagship set --
-        "graph_out_degree": q_out_degree,
-        "pagerank_step1": q_pagerank_step1,
+        # -- 3. flagship set (pagerank_converged/fixed10 lead: pregel.py
+        #    changed this round via the stats-reset sweep, so they need
+        #    fresh rows more than the untouched out-degree/step1 gates) --
+        "pagerank_converged": q_pagerank_converged,
         "pagerank_fixed10": q_pagerank_fixed10,
         "pagerank_fixed10_shuffle": q_pagerank_fixed10_shuffle,
-        "pagerank_converged": q_pagerank_converged,
+        "graph_out_degree": q_out_degree,
+        "pagerank_step1": q_pagerank_step1,
         "degree_histogram": q_degree_histogram,
         "ppr_seeded_fixed10": q_ppr_seeded_fixed10,
         "pagerank_weighted_fixed5": q_pagerank_weighted_fixed5,
@@ -2383,6 +2400,36 @@ def _repetition_stats_sql() -> str:
     """
 
 
+def _boilerplate_strip_sql(min_docs: int = 2, min_frac: float = 0.05) -> str:
+    """Replay of functions/dedup.py boilerplate_strip over the chunked
+    documents with host = source: integer-exact frequency threshold
+    (df * 1e6 >= frac_micros * host_docs), host-local anti-join, ordered
+    reassembly."""
+    frac_micros = int(round(min_frac * 1_000_000))
+    return f"""
+        WITH {_CHUNK_CTES},
+        chs AS (SELECT ch.doc_id, ch.pos, ch.para, d2.source AS host
+                FROM ch JOIN documents d2 ON d2.doc_id = ch.doc_id
+                WHERE length(trim(ch.para)) > 0),
+        pd AS (SELECT DISTINCT host, para, doc_id FROM chs),
+        dfc AS (SELECT host, para, count(*)::BIGINT AS df FROM pd GROUP BY 1, 2),
+        hd AS (SELECT host, count(DISTINCT doc_id)::BIGINT AS hd FROM pd GROUP BY host),
+        boiler AS (SELECT dfc.host, dfc.para FROM dfc JOIN hd ON hd.host = dfc.host
+                   WHERE dfc.df >= {min_docs}
+                     AND dfc.df * 1000000 >= {frac_micros} * hd.hd),
+        kept AS (SELECT c.doc_id, c.pos, c.para FROM chs c
+                 LEFT JOIN boiler b ON b.host = c.host AND b.para = c.para
+                 WHERE b.para IS NULL),
+        outp AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_clean,
+                        count(*)::BIGINT AS n_kept
+                 FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM chs GROUP BY doc_id)
+        SELECT tot.doc_id, coalesce(outp.text_clean, '') AS text_clean, tot.n_lines,
+               (tot.n_lines - coalesce(outp.n_kept, 0))::BIGINT AS n_removed
+        FROM tot LEFT JOIN outp ON outp.doc_id = tot.doc_id
+    """
+
+
 def _paragraph_dedup_sql() -> str:
     return f"""
         WITH {_CHUNK_CTES},
@@ -3226,6 +3273,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_stats": _repetition_stats_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
+        "boilerplate_strip": _boilerplate_strip_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "token_stats": f"""

@@ -826,6 +826,88 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_strip(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "source",
+    *,
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-host boilerplate removal (the CCNet / RefinedWeb cleaning pass
+    that precedes dedup): a ``sep``-delimited segment is boilerplate for a
+    host when it appears in at least ``min_docs`` distinct documents of
+    that host AND in at least ``min_frac`` of the host's documents —
+    navigation chrome, cookie banners, footers. Boilerplate segments are
+    stripped from every document of that host; the same segment on
+    another host where it is rare survives (host-local frequency is the
+    CCNet insight — global dedup would under- or over-fire).
+
+    Returns (id, text_clean, n_lines, n_removed): the reassembled
+    document (kept segments in original order), original non-empty
+    segment count, and removed count.
+
+    Determinism: the frequency test is integer-exact — ``df * 10^6 >=
+    round(min_frac * 10^6) * host_docs`` — so the boilerplate set is a
+    pure function of the corpus (no float threshold drift between
+    engines; DuckDB replays it verbatim).
+
+    Plan shape at 100 TB: one distinct over (host, segment, id) rows
+    (linear, partial-aggregated), one (host, segment) count, one host
+    doc count, one keyed anti-join, one doc-keyed reassembly groupBy.
+    No window over the corpus, no all-pairs step; a banner welded into
+    10^8 pages of one host is ONE row in the boilerplate relation and
+    the anti-join prunes it bucket-locally.
+    """
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    if not (0.0 <= min_frac <= 1.0):
+        raise ValueError("min_frac must be in [0, 1]")
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).where(F.length(F.trim("line")) > 0)
+
+    per_doc = lines.select("host", "line", "id").distinct()
+    df_counts = per_doc.groupBy("host", "line").agg(F.count(F.lit(1)).alias("df"))
+    host_docs = per_doc.select("host", "id").distinct().groupBy("host").agg(
+        F.count(F.lit(1)).alias("hd")
+    )
+    frac_micros = int(round(min_frac * 1_000_000))
+    boiler = (
+        df_counts.join(host_docs, "host")
+        .where(
+            (F.col("df") >= min_docs)
+            & (F.col("df") * F.lit(1_000_000) >= F.lit(frac_micros) * F.col("hd"))
+        )
+        .select("host", "line")
+    )
+
+    kept = lines.join(boiler, ["host", "line"], "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(reassembled, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+            "n_removed"
+        ),
+    )
+
+
 def dedup_groups(
     spark,
     docs: DataFrame,

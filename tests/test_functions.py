@@ -385,6 +385,84 @@ def test_paragraph_dedup_first_occurrence(spark):
     assert (out[4]["n_paras"], out[4]["n_kept"]) == (3, 2)
 
 
+def test_boilerplate_strip_host_local(spark):
+    from duwamish_spark.functions import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [
+            # host A: "cookie banner" in 3/4 docs -> boilerplate
+            (1, "cookie banner\nreal content one", "a"),
+            (2, "cookie banner\nreal content two", "a"),
+            (3, "real content three", "a"),
+            (4, "cookie banner", "a"),  # emptied entirely
+            # host B: the same line appears in only 1/2 docs -> kept
+            (5, "cookie banner\nb content", "b"),
+            (6, "other b content", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in boilerplate_strip(docs, min_docs=2, min_frac=0.5).collect()
+    }
+    assert out[1]["text_clean"] == "real content one"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (2, 1)
+    assert out[2]["text_clean"] == "real content two"
+    assert out[3]["text_clean"] == "real content three"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 1
+    # host-locality: same line is NOT boilerplate on host b
+    assert out[5]["text_clean"] == "cookie banner\nb content"
+    assert out[5]["n_removed"] == 0
+
+
+def test_boilerplate_strip_thresholds_exact(spark):
+    from duwamish_spark.functions import boilerplate_strip
+
+    # 10 docs on one host; a line in exactly 5 of them sits ON the 0.5
+    # boundary: integer-exact test (5 * 1e6 >= 500000 * 10) -> stripped
+    docs = spark.createDataFrame(
+        [
+            (i, ("edge line\nbody %d" % i) if i < 5 else ("body %d" % i), "h")
+            for i in range(10)
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_strip(docs, min_frac=0.5).collect()}
+    assert all(out[i]["n_removed"] == 1 for i in range(5))
+    # just above the boundary: 0.500001 -> kept
+    out2 = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(docs, min_frac=0.500001).collect()
+    }
+    assert all(out2[i]["n_removed"] == 0 for i in range(5))
+    # min_docs dominates when frac passes: one doc duplicating the line
+    # intra-doc still counts df=1
+    docs1 = spark.createDataFrame(
+        [(1, "only\nonly\nbody", "h")], "doc_id long, text string, source string"
+    )
+    r = boilerplate_strip(docs1, min_docs=2, min_frac=0.0).collect()[0]
+    assert r["n_removed"] == 0
+
+
+def test_boilerplate_strip_partition_invariant(spark):
+    from duwamish_spark.functions import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [
+            (i, "shared footer\nbody %d\nshared footer" % (i % 9), "h%d" % (i % 3))
+            for i in range(60)
+        ],
+        "doc_id long, text string, source string",
+    )
+    a = sorted(map(tuple, boilerplate_strip(docs).collect()))
+    b = sorted(map(tuple, boilerplate_strip(docs.repartition(17)).collect()))
+    assert a == b
+    # footer is in 100% of every host's docs -> stripped everywhere,
+    # including BOTH copies inside one doc
+    assert all("shared footer" not in t[1] for t in a)
+
+
 def test_paragraph_dedup_deterministic_under_partitioning(spark):
     from duwamish_spark.functions import paragraph_dedup
 
