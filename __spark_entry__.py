@@ -415,6 +415,17 @@ def q_coloring_round3(spark, sf_dir):
     return greedy_coloring(spark, v, e, max_rounds=3).state
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDedup over the driver embeddings: k-means-scoped pairwise
+    cosine, keep-first pruning at threshold 0.2 (the embeddings are
+    near-orthogonal random vectors, so the standard 0.95 would be
+    vacuous here — 0.2 makes both keep branches bite; pytest covers the
+    planted-near-dup semantics)."""
+    from duwamish_spark.functions import semdedup
+
+    return semdedup(_emb(spark, sf_dir), k=4, iters=2, threshold=0.2)
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Topic-cluster assignment: every embedding to its nearest
     deterministic-Lloyd centroid (k=4, 2 iterations, cosine, ties to
@@ -1360,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 0. new in round 4 (never driver-checked) --
         "louvain_round2": q_louvain_round2,
         "boilerplate_strip": q_boilerplate_strip,
+        "semdedup": q_semdedup,
         "salsa_round3": q_salsa_round3,
         "host_graph": q_host_graph,
         "bowtie_regions": q_bowtie_regions,
@@ -2918,6 +2930,42 @@ def _kmeans_assign_sql(k: int, iters: int, dim: int = 64) -> str:
     )
 
 
+def _semdedup_sql(k: int, iters: int, threshold: float, dim: int = 64) -> str:
+    """kmeans chain + within-cluster pairwise cosine + keep-first rule —
+    the DuckDB twin of semdedup(k, iters, threshold)."""
+    ctes = _kmeans_ctes(k, iters, dim)
+    f = iters + 1
+    ctes += [
+        f"""d{f} AS (SELECT p.id, c.cluster,
+                  sum(p.v[c.pos + 1]::DOUBLE * c.m) AS dot,
+                  sqrt(sum(p.v[c.pos + 1]::DOUBLE * p.v[c.pos + 1]::DOUBLE)) AS np,
+                  sqrt(sum(c.m * c.m)) AS nc
+           FROM pts p, c{iters} c GROUP BY p.id, c.cluster)""",
+        f"""asgf AS (SELECT id, cluster FROM (
+                SELECT id, cluster, row_number() OVER (
+                    PARTITION BY id ORDER BY dot / (np * nc) DESC, cluster ASC) AS rn
+                FROM d{f}) WHERE rn = 1)""",
+        """pr AS (SELECT x.id AS id_a, y.id AS id_b
+                FROM asgf x JOIN asgf y ON x.cluster = y.cluster AND x.id < y.id)""",
+        """flat AS (SELECT pr.id_a, pr.id_b,
+                         unnest(pa.v)::DOUBLE AS xx, unnest(pb.v)::DOUBLE AS yy
+                  FROM pr JOIN pts pa ON pa.id = pr.id_a
+                          JOIN pts pb ON pb.id = pr.id_b)""",
+        """dd AS (SELECT id_a, id_b, sum(xx * yy) AS dot,
+                       sqrt(sum(xx * xx)) AS na, sqrt(sum(yy * yy)) AS nb
+                FROM flat GROUP BY id_a, id_b)""",
+        f"""dup AS (SELECT DISTINCT id_b AS id FROM dd
+                 WHERE dot / (na * nb) >= {threshold})""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT a.id AS vec_id, a.cluster::BIGINT AS cluster,
+               (d.id IS NULL) AS keep
+        FROM asgf a LEFT JOIN dup d ON d.id = a.id"""
+    )
+
+
 def _kmeans_ctes(k: int, iters: int, dim: int = 64) -> list[str]:
     ctes = [
         "pts AS (SELECT vec_id AS id, embedding AS v FROM embeddings)",
@@ -3407,6 +3455,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_centroids": _kmeans_sql(4, 2),
         "kmeans_assign": _kmeans_assign_sql(4, 2),
+        "semdedup": _semdedup_sql(4, 2, 0.2),
         "simhash_near_dups": _simhash_md5_sql(7),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_near_dups": _NGRAM_JACCARD_SQL,

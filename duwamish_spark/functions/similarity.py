@@ -424,6 +424,81 @@ def embedding_near_dups(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    *,
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): semantic near-duplicate pruning
+    scoped to k-means clusters — cluster the embeddings, compare pairs
+    only WITHIN a cluster, and drop every vector that has a
+    smaller-id cluster-mate with cosine >= ``threshold`` (keep-first
+    semantics, the same deterministic total order as paragraph_dedup /
+    dedup_groups: the minimum id of every threshold-connected chain
+    always survives).
+
+    Returns every input row as (id, cluster, keep BOOLEAN).
+
+    ``assignments`` (id, cluster) lets callers reuse an existing
+    kmeans_assign result (or any partitioning — e.g. LSH buckets) instead
+    of re-clustering.
+
+    Scale shape: SemDedup's whole point is that the pair space is
+    cluster-local — at n points and k clusters the candidate join is
+    ~n^2/k pairs instead of n^2, and k grows with n (the paper runs
+    ~100k clusters for 1B points, keeping cluster sizes ~10^4). The
+    within-cluster self-join is keyed on cluster, so only same-bucket
+    rows co-locate. ``max_cluster_size`` is the quadratic-blowup guard:
+    if the largest cluster exceeds it, the call raises instead of
+    silently planning a ~max_cluster_size^2 pair explosion (raise k, or
+    pre-split hot clusters, the ngram_jaccard guard discipline).
+    """
+    asg = (
+        assignments.select(F.col(id_col), F.col("cluster"))
+        if assignments is not None
+        else kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    )
+    if max_cluster_size is not None:
+        top = (
+            asg.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        if top is not None and top > max_cluster_size:
+            raise ValueError(
+                f"semdedup: largest cluster has {top} rows > max_cluster_size="
+                f"{max_cluster_size}; raise k (more, smaller clusters) or "
+                "pre-split hot clusters before the pairwise pass"
+            )
+    pts = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).join(
+        asg.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+    )
+    a = pts.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "cluster")
+    b = pts.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "cluster")
+    dup = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_sim_col(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+    )
+    return (
+        pts.join(dup.withColumn("_dup", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def knn_ivf_recall(
     emb: DataFrame,
     k: int = 3,

@@ -208,6 +208,60 @@ def test_embedding_near_dups_exact_vs_lsh(spark):
     assert lsh == exact
 
 
+def test_semdedup_keep_first_within_cluster(spark):
+    import numpy as np
+
+    from duwamish_spark.functions import semdedup
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(16)
+    other = rng.standard_normal(16)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + 0.001 * rng.standard_normal(16)]),
+        (2, [float(x) for x in base + 0.001 * rng.standard_normal(16)]),
+        (3, [float(x) for x in other]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.keep for r in semdedup(emb, k=2, threshold=0.95).collect()}
+    # smallest id of the near-dup chain survives; the independent vector too
+    assert out == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_semdedup_cluster_scoping(spark):
+    # identical vectors FORCED into different clusters via assignments=
+    # are never compared -> both kept (cluster-locality is the contract)
+    from duwamish_spark.functions import semdedup
+
+    v = [1.0] * 8
+    emb = spark.createDataFrame(
+        [(0, v), (1, v)], "vec_id long, embedding array<float>"
+    )
+    asg = spark.createDataFrame([(0, 0), (1, 1)], "vec_id long, cluster long")
+    out = {r.vec_id: r.keep for r in semdedup(emb, assignments=asg).collect()}
+    assert out == {0: True, 1: True}
+    # same cluster -> the larger id is dropped
+    asg2 = spark.createDataFrame([(0, 0), (1, 0)], "vec_id long, cluster long")
+    out2 = {r.vec_id: r.keep for r in semdedup(emb, assignments=asg2).collect()}
+    assert out2 == {0: True, 1: False}
+
+
+def test_semdedup_max_cluster_guard(spark):
+    import pytest as _pytest
+
+    from duwamish_spark.functions import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    asg = spark.createDataFrame(
+        [(i, 0) for i in range(12)], "vec_id long, cluster long"
+    )
+    with _pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup(emb, assignments=asg, max_cluster_size=5)
+
+
 def test_simhash_near_dups_pigeonhole_complete(spark):
     # banding must find EVERY pair within the hamming threshold (pigeonhole
     # guarantee), for both hash families; md5 family == xxhash64 family in
