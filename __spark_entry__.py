@@ -1259,6 +1259,17 @@ def q_dsir_weights(spark, sf_dir):
     return importance_weights(docs, target, k=2, n_buckets=256)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality filter: per-document perplexity under a
+    hashed-bigram LM trained on the src0-src2 slice — integer-micros
+    cross-entropy (functions/importance.py lm_perplexity)."""
+    from duwamish_spark.functions import lm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source").isin("src0", "src1", "src2"))
+    return lm_perplexity(docs, target, n_ctx_buckets=256, n_big_buckets=4096)
+
+
 def q_dsir_resample(spark, sf_dir):
     """DSIR importance resampling: the 40 documents selected by the
     deterministic exponential race over the dsir_weights scores —
@@ -1376,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "bowtie_regions": q_bowtie_regions,
         "dsir_weights": q_dsir_weights,
+        "lm_perplexity": q_lm_perplexity,
         "dsir_resample": q_dsir_resample,
         "duplicate_spans": q_duplicate_spans,
         "curation_pipeline": q_curation_pipeline,
@@ -2808,6 +2820,44 @@ _DSIR_SQL = r"""
     FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
 """
 
+# hashed-bigram LM perplexity (importance.py lm_perplexity): target =
+# src0-src2 slice, context counts over 256 buckets / bigram counts over
+# 4096, add-one conditional, per-instance cross-entropy term rounded to
+# integer micros BEFORE the per-doc BIGINT sum; ppl is one fixed float
+# expression on the two integers.
+_LM_PPL_SQL = r"""
+    WITH d AS (SELECT doc_id, source,
+                      regexp_split_to_array(trim(text), '\s+') AS arr
+               FROM documents WHERE length(trim(text)) > 0),
+    bgs AS (SELECT doc_id, source, arr[i] AS w1,
+                   array_to_string(arr[i:i+1], ' ') AS gram
+            FROM (SELECT doc_id, source, arr,
+                         unnest(generate_series(1, len(arr) - 1)) AS i
+                  FROM d WHERE len(arr) >= 2) t),
+    tb AS (SELECT
+             ('0x' || substring(md5('lm1:' || w1), 1, 8))::UINTEGER::BIGINT % 256 AS b1,
+             ('0x' || substring(md5('lm2:' || gram), 1, 8))::UINTEGER::BIGINT % 4096 AS b2
+           FROM bgs WHERE source IN ('src0', 'src1', 'src2')),
+    c1 AS (SELECT b1, count(*)::BIGINT AS c1 FROM tb GROUP BY b1),
+    c2 AS (SELECT b2, count(*)::BIGINT AS c2 FROM tb GROUP BY b2),
+    rb AS (SELECT doc_id,
+             ('0x' || substring(md5('lm1:' || w1), 1, 8))::UINTEGER::BIGINT % 256 AS b1,
+             ('0x' || substring(md5('lm2:' || gram), 1, 8))::UINTEGER::BIGINT % 4096 AS b2
+           FROM bgs),
+    sc AS (SELECT rb.doc_id, count(*)::BIGINT AS n_bigrams,
+                  sum(round(1e6 * (ln(coalesce(c1.c1, 0) + 4096)
+                                   - ln(coalesce(c2.c2, 0) + 1)))::BIGINT) AS ce
+           FROM rb LEFT JOIN c1 ON c1.b1 = rb.b1 LEFT JOIN c2 ON c2.b2 = rb.b2
+           GROUP BY rb.doc_id)
+    SELECT doc.doc_id AS doc_id,
+           coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(sc.ce, 0)::BIGINT AS ce_micros,
+           CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 0.0
+                ELSE round(exp(sc.ce::DOUBLE / sc.n_bigrams / 1000000.0), 6)
+           END AS ppl
+    FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id
+"""
+
 # shared by ngram_jaccard / minhash_near_dups / dedup_groups: the exact
 # 3-gram Jaccard pair relation (threshold 0.2) as CTEs ending in `npairs`
 _NGRAM_PAIR_CTES = r"""d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
@@ -3461,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _NGRAM_JACCARD_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "dsir_weights": _DSIR_SQL,
+        "lm_perplexity": _LM_PPL_SQL,
         "dsir_resample": (
             "WITH w AS (" + _DSIR_SQL + "), "
             "k AS (SELECT doc_id, round(ln(ln(4294967297.0 / "

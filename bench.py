@@ -567,6 +567,27 @@ def main() -> None:
         "sec": round(time.monotonic() - t0, 3), "modularity": q_mod,
     }
 
+    # round-4: Louvain move phase — modularity-objective communities;
+    # per-round cost model == one LP count exchange. Quality vs LP is the
+    # point of the operator, so both modularities land in the artifact.
+    from duwamish_spark.algorithms import louvain
+
+    t0 = time.monotonic()
+    lv = louvain(spark, verts, edges, max_rounds=10)
+    lv_comms = lv.state.select("comm").distinct().count()
+    lv_sec = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    lv_mod = modularity(
+        edges, lv.state.select("id", F.col("comm").alias("label"))
+    ).collect()[0]["modularity"]
+    queries["louvain_10"] = lv_sec
+    extra["louvain"] = {
+        "sec": lv_sec, "rounds": lv.supersteps, "halted": lv.halted,
+        "communities": lv_comms,
+        "modularity": lv_mod, "lp5_modularity": q_mod,
+        "modularity_sec": round(time.monotonic() - t0, 3),
+    }
+
     t0 = time.monotonic()
     tri = triangle_count(edges)
     queries["triangle_count"] = round(time.monotonic() - t0, 3)

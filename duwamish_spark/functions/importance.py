@@ -174,6 +174,125 @@ def importance_weights(
     )
 
 
+def lm_perplexity(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    n_ctx_buckets: int = 4096,
+    n_big_buckets: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "lm",
+) -> DataFrame:
+    """Per-document perplexity under a hashed-bigram language model
+    trained on ``target`` — the CCNet quality filter (Wenzek et al.
+    2020: score every crawl document with a LM trained on a trusted
+    corpus, keep the low-perplexity head). KenLM's 5-gram model becomes
+    a hashed bigram model here: the conditional probability of token
+    w_i given w_{i-1} is add-one estimated from target bucket counts
+
+        p(w_i | w_{i-1}) = (c2[b2(w_{i-1} w_i)] + 1)
+                           / (c1[b1(w_{i-1})] + n_big_buckets)
+
+    with b1/b2 the md5-bucket of the context token / the bigram, and c1
+    counting target bigram INSTANCES by context bucket (so the estimate
+    is a proper conditional up to hash collisions).
+
+    Returns ``(id_col, n_bigrams, ce_micros, ppl)``: ce_micros is the
+    total cross-entropy Σ -ln p in integer micros (each instance term
+    rounded to micros BEFORE the BIGINT sum — order-independent and
+    DuckDB-replayable, the importance_weights discipline; every ln takes
+    an integer argument), and ppl = round(exp(ce/n/1e6), 6) is the
+    display perplexity (0.0 for docs with < 2 tokens).
+
+    Scale shape: both count tables are bucket-bounded by construction
+    (<= n_ctx/n_big rows — model-sized broadcasts); scoring is one
+    linear pass over the raw bigram stream with two broadcast joins and
+    a map-side-combinable per-doc sum. Nothing shuffles more than the
+    token stream.
+    """
+    require_columns(docs, (id_col, text_col), "docs")
+    require_columns(target, (text_col,), "target")
+    if n_ctx_buckets < 2 or n_big_buckets < 2:
+        raise ValueError("bucket counts must be >= 2")
+
+    from duwamish_spark.functions.sampling import _u32_of
+    from duwamish_spark.functions.text import tokens_col
+
+    def _bigrams(d: DataFrame, idc: str) -> DataFrame:
+        toks = d.select(
+            F.col(idc).alias("id"), tokens_col(text_col).alias("t")
+        ).where(F.size("t") >= 2)
+        return toks.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.concat_ws(" ", F.slice("t", i, 2)).alias("gram"),
+                    ),
+                )
+            ).alias("bg"),
+        ).select(
+            "id",
+            (_u32_of(F.col("bg.w1"), salt + "1") % n_ctx_buckets).alias("b1"),
+            (_u32_of(F.col("bg.gram"), salt + "2") % n_big_buckets).alias("b2"),
+        )
+
+    tgt = _bigrams(target.select(F.lit("_").alias("_tid"), F.col(text_col)), "_tid")
+    spark = docs.sparkSession
+    c2_rows = tgt.groupBy("b2").agg(F.count(F.lit(1)).alias("c2")).collect()
+    c1_rows = tgt.groupBy("b1").agg(F.count(F.lit(1)).alias("c1")).collect()
+    c2 = spark.createDataFrame(
+        [(r["b2"], r["c2"]) for r in c2_rows] or [(None, None)], "b2 long, c2 long"
+    ).where(F.col("b2").isNotNull())
+    c1 = spark.createDataFrame(
+        [(r["b1"], r["c1"]) for r in c1_rows] or [(None, None)], "b1 long, c1 long"
+    ).where(F.col("b1").isNotNull())
+
+    term = F.round(
+        F.lit(1e6)
+        * (
+            F.log(F.coalesce("c1", F.lit(0)) + F.lit(n_big_buckets))
+            - F.log(F.coalesce("c2", F.lit(0)) + F.lit(1))
+        ),
+        0,
+    ).cast("long")
+
+    scored = (
+        _bigrams(docs, id_col)
+        .join(F.broadcast(c1), "b1", "left")
+        .join(F.broadcast(c2), "b2", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term).alias("ce_micros"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("ce_micros", F.lit(0).cast("long")).alias("ce_micros"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.exp(
+                        F.col("ce_micros").cast("double")
+                        / F.col("n_bigrams").cast("double")
+                        / F.lit(1e6)
+                    ),
+                    6,
+                )
+            )
+            .alias("ppl"),
+        )
+    )
+
+
 def importance_resample(
     docs: DataFrame,
     target: DataFrame,

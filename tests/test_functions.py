@@ -736,6 +736,82 @@ def _resample_brute(weights, n, salt="dsir"):
     return {(did, k) for k, did in keyed[:n]}
 
 
+def _lm_brute(docs, tgt, B1, B2, salt="lm"):
+    import hashlib
+    import math
+
+    def u32(s, sl):
+        return int(hashlib.md5(f"{sl}:{s}".encode()).hexdigest()[:8], 16)
+
+    def bigrams(t):
+        w = t.split()
+        return [(w[i], f"{w[i]} {w[i+1]}") for i in range(len(w) - 1)]
+
+    c1, c2 = {}, {}
+    for _, t in tgt:
+        for w1, g in bigrams(t):
+            c1[u32(w1, salt + "1") % B1] = c1.get(u32(w1, salt + "1") % B1, 0) + 1
+            c2[u32(g, salt + "2") % B2] = c2.get(u32(g, salt + "2") % B2, 0) + 1
+
+    out = {}
+    for did, t in docs:
+        bgs = bigrams(t)
+        ce = sum(
+            round(
+                1e6
+                * (
+                    math.log(c1.get(u32(w1, salt + "1") % B1, 0) + B2)
+                    - math.log(c2.get(u32(g, salt + "2") % B2, 0) + 1)
+                )
+            )
+            for w1, g in bgs
+        )
+        n = len(bgs)
+        ppl = 0.0 if n == 0 else round(math.exp(ce / n / 1e6), 6)
+        out[did] = (n, ce, ppl)
+    return out
+
+
+def test_lm_perplexity_matches_brute(spark):
+    from duwamish_spark.functions import lm_perplexity
+
+    docs = [
+        ("d0", "the cat sat on the mat"),
+        ("d1", "spark runs a dag of stages over partitions"),
+        ("d2", "the cat sat quietly near the dog"),
+        ("d3", "x"),
+        ("d4", ""),
+    ]
+    tgt = [("t0", "the cat sat quietly"), ("t1", "the dog sat on the mat")]
+    want = _lm_brute(docs, tgt, B1=64, B2=256)
+    out = lm_perplexity(
+        spark.createDataFrame(docs, "doc_id string, text string"),
+        spark.createDataFrame(tgt, "doc_id string, text string"),
+        n_ctx_buckets=64, n_big_buckets=256,
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["ce_micros"], r["ppl"]) for r in out.collect()}
+    assert got == want
+    # target-like docs measure lower perplexity than target-unlike ones
+    assert got["d2"][2] < got["d1"][2]
+    # short docs: 0 bigrams, 0 entropy, sentinel ppl
+    assert got["d3"] == (0, 0, 0.0) and got["d4"] == (0, 0, 0.0)
+
+
+def test_lm_perplexity_stable_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from duwamish_spark.functions import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d tok%d tok%d" % (i % 5, i % 3, i % 7)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    tgt = docs.where(F.col("doc_id") % 4 == 0)
+    a = sorted(map(tuple, lm_perplexity(docs, tgt).collect()))
+    b = sorted(map(tuple, lm_perplexity(docs.repartition(13), tgt).collect()))
+    assert a == b
+
+
 def test_importance_resample_matches_brute(spark):
     from duwamish_spark.functions import importance_resample, importance_weights
 
