@@ -1411,8 +1411,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
-        "stopword_ratio": q_stopword_ratio,
-        "bpe_token_stats": q_bpe_token_stats,
         "doc_quality": q_doc_quality,
         "lang_pred": q_lang_pred,
         "knn_cosine": q_knn_cosine,
@@ -1441,6 +1439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10_shuffle": q_pagerank_fixed10_shuffle,
         "graph_out_degree": q_out_degree,
         "pagerank_step1": q_pagerank_step1,
+        # r2-green, code untouched since — rotated out for the round-4
+        # additions above (pure Column exprs, lowest staleness risk)
+        "stopword_ratio": q_stopword_ratio,
+        "bpe_token_stats": q_bpe_token_stats,
         "degree_histogram": q_degree_histogram,
         "ppr_seeded_fixed10": q_ppr_seeded_fixed10,
         "pagerank_weighted_fixed5": q_pagerank_weighted_fixed5,
