@@ -1259,6 +1259,37 @@ def q_dsir_weights(spark, sf_dir):
     return importance_weights(docs, target, k=2, n_buckets=256)
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events log (30-min gap, one row
+    per session; functions/events.py). All time columns are BIGINT
+    epoch micros — tz-independent, so the gate compares integers."""
+    from duwamish_spark.functions import sessionize
+
+    out = sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_micros",
+        "total_value",
+    )
+
+
+def q_event_rates(spark, sf_dir):
+    """Tumbling 60-min window counts per event type over the events log
+    (functions/events.py event_window_rates) — one linear groupBy, no
+    window function (plan pinned in pytest)."""
+    from duwamish_spark.functions import event_window_rates
+
+    return event_window_rates(_events(spark, sf_dir), window_minutes=60)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style quality filter: per-document perplexity under a
     hashed-bigram LM trained on the src0-src2 slice — integer-micros
@@ -1388,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_regions": q_bowtie_regions,
         "dsir_weights": q_dsir_weights,
         "lm_perplexity": q_lm_perplexity,
+        "sessionize": q_sessionize,
+        "event_rates": q_event_rates,
         "dsir_resample": q_dsir_resample,
         "duplicate_spans": q_duplicate_spans,
         "curation_pipeline": q_curation_pipeline,
@@ -1411,8 +1444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
-        "doc_quality": q_doc_quality,
-        "lang_pred": q_lang_pred,
         "knn_cosine": q_knn_cosine,
         "kmeans_centroids": q_kmeans_centroids,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1443,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additions above (pure Column exprs, lowest staleness risk)
         "stopword_ratio": q_stopword_ratio,
         "bpe_token_stats": q_bpe_token_stats,
+        "doc_quality": q_doc_quality,
+        "lang_pred": q_lang_pred,
         "degree_histogram": q_degree_histogram,
         "ppr_seeded_fixed10": q_ppr_seeded_fixed10,
         "pagerank_weighted_fixed5": q_pagerank_weighted_fixed5,
@@ -2827,6 +2860,36 @@ _DSIR_SQL = r"""
 # 4096, add-one conditional, per-instance cross-entropy term rounded to
 # integer micros BEFORE the per-doc BIGINT sum; ppl is one fixed float
 # expression on the two integers.
+# events-log operators (functions/events.py): lag-chain sessionization
+# (epoch-micros comparisons, event_id tie-break) and tumbling-window
+# rates (integer floor-division bucket, no window function)
+_SESSIONIZE_SQL = """
+    WITH ev AS (SELECT user_id, ts, event_id, value, epoch_us(ts) AS us
+                FROM events),
+    lagd AS (SELECT user_id, ts, us, event_id, value,
+                    CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS newf
+             FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (SELECT user_id, us, value,
+                    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS session_idx
+             FROM lagd)
+    SELECT user_id, session_idx::BIGINT AS session_idx,
+           count(*)::BIGINT AS n_events,
+           min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us,
+           (max(us) - min(us))::BIGINT AS duration_micros,
+           round(sum(value), 6) AS total_value
+    FROM sess GROUP BY user_id, session_idx
+"""
+
+_EVENT_RATES_SQL = """
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           event_type, count(*)::BIGINT AS n,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
 _LM_PPL_SQL = r"""
     WITH d AS (SELECT doc_id, source,
                       regexp_split_to_array(trim(text), '\s+') AS arr
@@ -3514,6 +3577,8 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _HOST_GRAPH_SQL,
         "dsir_weights": _DSIR_SQL,
         "lm_perplexity": _LM_PPL_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "event_rates": _EVENT_RATES_SQL,
         "dsir_resample": (
             "WITH w AS (" + _DSIR_SQL + "), "
             "k AS (SELECT doc_id, round(ln(ln(4294967297.0 / "
