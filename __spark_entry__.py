@@ -478,6 +478,27 @@ def q_reciprocity(spark, sf_dir):
     return reciprocity(_edges(spark, sf_dir))
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club connectivity profile: per occurring degree threshold k,
+    hub count / hub-hub edge count / density phi(k) — suffix sums over
+    the per-degree histogram, no theta join; integer counts + one final
+    division (algorithms/structure.py rich_club)."""
+    from duwamish_spark.algorithms import rich_club
+
+    return rich_club(_edges(spark, sf_dir))
+
+
+def q_trussness_round2(spark, sf_dir):
+    """Full truss decomposition by per-edge h-index iteration
+    (Sariyuce 2017 local nucleus), fixed 2 rounds — a valid per-edge
+    upper bound at any SF (estimates start at support+2 and are
+    monotone non-increasing); exact convergence is pytest-gated against
+    the sequential support peel (algorithms/trussness.py)."""
+    from duwamish_spark.algorithms import trussness
+
+    return trussness(spark, _edges(spark, sf_dir), max_rounds=2).state
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Out-in degree assortativity (Newman Pearson r over distinct
     arcs): six exact BIGINT moments + one fixed-order float formula
@@ -1455,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_h3": q_harmonic_h3,
         "closeness_h3": q_closeness_h3,
         "degree_assortativity": q_degree_assortativity,
+        "rich_club": q_rich_club,
+        "trussness_round2": q_trussness_round2,
         "mis_round1": q_mis_round1,
         "densest_round2": q_densest_round2,
         "cc_converged": q_cc_converged,
@@ -2096,6 +2119,75 @@ def _coreness_chain_sql(rounds: int) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v.id AS id, coalesce(e2.c, 0)::BIGINT AS coreness "
         + f"FROM v LEFT JOIN est{rounds} e2 ON e2.id = v.id"
+    )
+
+
+def _rich_club_sql() -> str:
+    """Replay of structure.rich_club: per-degree-value histogram of
+    vertices and of edge min-degrees, strict-suffix sums by window,
+    rows at occurring degree values; single final division round(6)."""
+    return f"""
+        WITH {_EDGE_CTE}, {_CANON_CTE}, {_SADJ_CTE}, {_SDEG_CTE},
+        em AS (SELECT least(d1.degree, d2.degree) AS val
+               FROM c JOIN sdeg d1 ON d1.id = c.src
+               JOIN sdeg d2 ON d2.id = c.dst),
+        nd AS (SELECT degree AS val, count(*) AS nodes FROM sdeg GROUP BY degree),
+        ed AS (SELECT val, count(*) AS edgs FROM em GROUP BY val),
+        dom AS (SELECT coalesce(nd.val, ed.val) AS val,
+                       coalesce(nodes, 0) AS nodes, coalesce(edgs, 0) AS edgs
+                FROM nd FULL OUTER JOIN ed ON nd.val = ed.val),
+        prof AS (SELECT val, nodes,
+            coalesce(sum(nodes) OVER (ORDER BY val DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_rich,
+            coalesce(sum(edgs) OVER (ORDER BY val DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e_rich
+            FROM dom)
+        SELECT val AS k, n_rich, e_rich,
+               CASE WHEN n_rich >= 2
+                    THEN round(2.0 * e_rich / (n_rich * (n_rich - 1.0)), 6)
+               END AS phi
+        FROM prof WHERE nodes > 0
+    """
+
+
+def _trussness_fixed_sql(rounds: int) -> str:
+    """Truss h-index iteration replay: est0 = support + 2; each round
+    joins both partner-edge estimates into the triangle-edge incidence,
+    ranks rho = least(partner estimates) descending per edge, and takes
+    max(least(rn + 2, rho)) — all integers. Edges outside any triangle
+    coalesce to 2."""
+    ctes = [
+        _EDGE_CTE,
+        _CANON_CTE,
+        _TRI_CTE,
+        # tri has a < b < c3, so all three member edges are canonical
+        "t3 AS (SELECT a AS e1s, b AS e1t, a AS e2s, c3 AS e2t, "
+        "b AS e3s, c3 AS e3t FROM tri)",
+        "inc AS ("
+        "SELECT e1s AS s, e1t AS t, e2s AS p1s, e2t AS p1t, e3s AS p2s, e3t AS p2t FROM t3 "
+        "UNION ALL "
+        "SELECT e2s, e2t, e1s, e1t, e3s, e3t FROM t3 "
+        "UNION ALL "
+        "SELECT e3s, e3t, e1s, e1t, e2s, e2t FROM t3)",
+        "est0 AS (SELECT s, t, (count(*) + 2)::BIGINT AS c FROM inc GROUP BY s, t)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"r{r} AS (SELECT inc.s AS s, inc.t AS t, "
+            f"least(a.c, b.c) AS rho, "
+            f"row_number() OVER (PARTITION BY inc.s, inc.t "
+            f"ORDER BY least(a.c, b.c) DESC, inc.p1s, inc.p1t, inc.p2s, inc.p2t) AS rn "
+            f"FROM inc JOIN est{r-1} a ON a.s = inc.p1s AND a.t = inc.p1t "
+            f"JOIN est{r-1} b ON b.s = inc.p2s AND b.t = inc.p2t)"
+        )
+        ctes.append(
+            f"est{r} AS (SELECT s, t, max(least(rn + 2, rho))::BIGINT AS c "
+            f"FROM r{r} GROUP BY s, t)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT c.src AS src, c.dst AS dst, coalesce(e2.c, 2)::BIGINT AS trussness "
+        + f"FROM c LEFT JOIN est{rounds} e2 ON e2.s = c.src AND e2.t = c.dst"
     )
 
 
@@ -3376,6 +3468,8 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN cnt ON cnt.id = v.id
         """,
         "coreness_round3": _coreness_chain_sql(3),
+        "rich_club": _rich_club_sql(),
+        "trussness_round2": _trussness_fixed_sql(2),
         "local_clustering": _local_clustering_sql(),
         "link_pred_top5": _link_pred_sql(5, 2, 1_000_000),
         "ktruss_round2": _ktruss_fixed_sql(KTRUSS_K, KTRUSS_ROUNDS),

@@ -39,6 +39,7 @@ from duwamish_spark.algorithms.msf import (
     weighted_canonical_edges,
 )
 from duwamish_spark.algorithms.coreness import coreness
+from duwamish_spark.algorithms.trussness import trussness
 from duwamish_spark.algorithms.layering import topological_depth
 from duwamish_spark.algorithms.structure import (
     clustering_coefficient,
@@ -48,6 +49,7 @@ from duwamish_spark.algorithms.structure import (
     link_prediction,
     modularity,
     reciprocity,
+    rich_club,
     square_count,
 )
 
@@ -58,8 +60,10 @@ __all__ = [
     "clustering_coefficient",
     "cocitation",
     "coreness",
+    "trussness",
     "degree_assortativity",
     "reciprocity",
+    "rich_club",
     "boruvka_min_edges",
     "densest_subgraph",
     "maximal_independent_set",

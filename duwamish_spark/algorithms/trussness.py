@@ -1,0 +1,170 @@
+"""Full truss decomposition (per-edge truss number) via distributed
+h-index iteration — the edge analogue of `coreness.py`.
+
+``k_truss(k)`` (structure.py) answers one membership question; the
+decomposition labels EVERY edge with its truss number t(e) — the
+largest k whose k-truss contains it. t(e) is the standard cohesion
+signal one level finer than coreness: on an import graph it separates
+"edge inside a tightly co-changing module" from "edge between
+modules" at every density level at once, and the k-truss for ANY k is
+then a filter, not a recomputation.
+
+The sequential algorithm (support peel, Cohen 2008) is inherently
+serial; the scalable formulation is the local fixpoint (Sariyüce,
+Seshadhri & Pinar 2017's local nucleus decomposition, h-index form):
+for each edge e with triangle-partner estimates
+
+    rho_i = min(t̂(e1_i), t̂(e2_i))        (one rho per triangle of e)
+
+set  t̂(e) <- 2 + max{ h : |{i : rho_i >= h + 2}| >= h }, i.e. with
+rho ranked descending,  t̂(e) <- max over rank r of min(rho_(r), r+2)
+(2 when e has no triangle). Starting from the upper bound
+t̂0 = support(e) + 2 the estimates are monotone non-increasing, remain
+upper bounds, and converge exactly to the truss numbers.
+
+Engine formulation: the triangle-edge incidence relation (3 rows per
+triangle: edge + its two partner edges, all canonical (s,t) pairs) is
+materialized ONCE; each round is two keyed joins of the estimate
+relation into the incidence (T-bounded, T = triangle count), a window
+ranking each edge's rho values, and one groupBy — all integers, no
+UDFs. The Σt̂ signature riding the materializing job detects the
+fixpoint (monotone non-increasing + unchanged sum == fixed). A
+fixed-round prefix is exactly replayable by chained CTEs (driver gate
+``trussness_round2``); exact convergence is pytest-gated against the
+sequential peel.
+
+Scale: the incidence relation is the one super-linear intermediate
+(3·T rows; T can exceed E on dense graphs — inherent to truss, not to
+this formulation). Triangle enumeration routes through the
+degree-ordered orientation (O(E^1.5) wedge cap), incidence is
+checkpointed once and re-joined per round, and per-round shuffle is
+T-bounded on the partner-edge keys. Reference scope: duwamish has no
+truss operator; this extends the engine's cohesive-subgraph family
+(k_truss / k_core / coreness) to the full decomposition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duwamish_spark.graph import canonical_edges, require_columns
+from duwamish_spark.pregel import (
+    PregelResult,
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
+
+
+def _incidence(c: DataFrame) -> DataFrame:
+    """(s, t, p1s, p1t, p2s, p2t): one row per (edge, triangle) with the
+    triangle's other two canonical edges. 3·T rows."""
+    from duwamish_spark.algorithms.structure import oriented_triangles
+
+    tri = oriented_triangles(c).select(
+        F.least("a", "b").alias("e1s"),
+        F.greatest("a", "b").alias("e1t"),
+        F.least("a", "c").alias("e2s"),
+        F.greatest("a", "c").alias("e2t"),
+        F.col("b").alias("e3s"),
+        F.col("c").alias("e3t"),
+    )
+
+    def rot(me_s, me_t, a_s, a_t, b_s, b_t):
+        return tri.select(
+            F.col(me_s).alias("s"),
+            F.col(me_t).alias("t"),
+            F.col(a_s).alias("p1s"),
+            F.col(a_t).alias("p1t"),
+            F.col(b_s).alias("p2s"),
+            F.col(b_t).alias("p2t"),
+        )
+
+    return (
+        rot("e1s", "e1t", "e2s", "e2t", "e3s", "e3t")
+        .unionAll(rot("e2s", "e2t", "e1s", "e1t", "e3s", "e3t"))
+        .unionAll(rot("e3s", "e3t", "e1s", "e1t", "e2s", "e2t"))
+    )
+
+
+def trussness(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_rounds: int = 100,
+) -> PregelResult:
+    """Truss number per canonical simple edge: state
+    ``(src, dst, trussness)``. Edges in no triangle have trussness 2.
+
+    ``max_rounds`` caps the h-index iteration (state is then still a
+    valid per-edge UPPER BOUND — the fixed-round semantics the driver
+    oracle replays); ``halted`` reports whether the exact fixpoint was
+    reached.
+    """
+    require_columns(edges, ("src", "dst"), "edges")
+    c = canonical_edges(edges).transform(local_checkpoint_stats_reset)
+    inc = _incidence(c).transform(local_checkpoint_stats_reset)
+    est = (
+        inc.groupBy("s", "t")
+        .agg((F.count(F.lit(1)) + F.lit(2)).cast("long").alias("c"))
+        .transform(local_checkpoint_stats_reset)
+    )
+
+    metrics_hist: list[dict] = []
+    halted = False
+    rounds = 0
+    sig = None
+    w = Window.partitionBy("s", "t").orderBy(
+        F.col("rho").desc(), "p1s", "p1t", "p2s", "p2t"
+    )
+    for t in range(1, max_rounds + 1):
+        e1 = est.select(
+            F.col("s").alias("p1s"), F.col("t").alias("p1t"), F.col("c").alias("c1")
+        )
+        e2 = est.select(
+            F.col("s").alias("p2s"), F.col("t").alias("p2t"), F.col("c").alias("c2")
+        )
+        vals = (
+            inc.join(e1, ["p1s", "p1t"])
+            .join(e2, ["p2s", "p2t"])
+            .select("s", "t", "p1s", "p1t", "p2s", "p2t", F.least("c1", "c2").alias("rho"))
+        )
+        obs = Observation()
+        nxt = (
+            vals.withColumn("rn", F.row_number().over(w))
+            .groupBy("s", "t")
+            .agg(F.max(F.least(F.col("rn") + 2, F.col("rho"))).cast("long").alias("c"))
+            .observe(obs, F.sum("c").alias("tsum"))
+            .transform(local_checkpoint_stats_reset)
+        )
+        row = obs.get["tsum"]
+        tsum = int(row) if row is not None else 0  # triangle-free graph
+        rounds = t
+        metrics_hist.append({"superstep": t, "truss_sum": tsum})
+        free_local_checkpoint(est)
+        est = nxt
+        if sig == tsum:
+            # monotone non-increasing + unchanged sum == fixpoint
+            halted = True
+            break
+        sig = tsum
+    out = (
+        c.join(
+            est.select(F.col("s").alias("src"), F.col("t").alias("dst"), "c"),
+            ["src", "dst"],
+            "left",
+        )
+        .select("src", "dst", F.coalesce("c", F.lit(2)).cast("long").alias("trussness"))
+        .transform(local_checkpoint_stats_reset)
+    )
+    free_local_checkpoint(est)
+    free_local_checkpoint(inc)
+    free_local_checkpoint(c)
+    return PregelResult(
+        state=out,
+        supersteps=rounds,
+        metrics=metrics_hist,
+        halted=halted,
+        run_id="trussness",
+    )

@@ -562,3 +562,123 @@ def test_closeness_matches_brute_bfs(spark):
     # 1 and 6 both see exactly {2,3,4} at hops 1..3: identical sketches
     assert got[1] == got[6]
     assert got[1] > 0.0 and got[2] > 0.0 and got[3] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient
+# ---------------------------------------------------------------------------
+
+
+def _brute_rich_club(edges):
+    simple = _simple(edges)
+    nb = _nbrs(simple)
+    deg = {v: len(ns) for v, ns in nb.items()}
+    out = {}
+    for k in sorted(set(deg.values())):
+        rich = {v for v, d in deg.items() if d > k}
+        e_rich = sum(1 for a, b in simple if a in rich and b in rich)
+        n = len(rich)
+        phi = round(2.0 * e_rich / (n * (n - 1)), 6) if n >= 2 else None
+        out[k] = (n, e_rich, phi)
+    return out
+
+
+def test_rich_club_matches_brute(spark):
+    from duwamish_spark.algorithms import rich_club
+
+    rows = rich_club(_edges_df(spark)).collect()
+    got = {r["k"]: (r["n_rich"], r["e_rich"], r["phi"]) for r in rows}
+    assert got == _brute_rich_club(EDGES)
+
+
+def test_rich_club_random_graphs(spark):
+    from duwamish_spark.algorithms import rich_club
+
+    for seed, n, m in [(3, 20, 70), (11, 35, 180)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        rows = rich_club(_edges_df(spark, edges)).collect()
+        got = {r["k"]: (r["n_rich"], r["e_rich"], r["phi"]) for r in rows}
+        assert got == _brute_rich_club(edges), seed
+
+
+# ---------------------------------------------------------------------------
+# trussness (full truss decomposition, h-index fixpoint)
+# ---------------------------------------------------------------------------
+
+
+def _brute_trussness(edges):
+    """Sequential support peel: phase k removes (repeatedly) every edge
+    with < k-2 triangles in the surviving graph; edges removed in phase
+    k have truss number k-1."""
+    cur = set(_simple(edges))
+    t = {}
+    k = 2
+    while cur:
+        k += 1
+        while True:
+            nb = _nbrs(cur)
+            drop = {
+                (a, b)
+                for a, b in cur
+                if len(nb[a] & nb[b]) < k - 2
+            }
+            if not drop:
+                break
+            for e in drop:
+                t[e] = k - 1
+            cur -= drop
+    return t
+
+
+def test_trussness_matches_peel(spark):
+    from duwamish_spark.algorithms import trussness
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    res = trussness(spark, _edges_df(spark))
+    got = {(r["src"], r["dst"]): r["trussness"] for r in res.state.collect()}
+    free_local_checkpoint(res.state)
+    assert res.halted
+    assert got == _brute_trussness(EDGES)
+
+
+def test_trussness_random_graphs_match_peel(spark):
+    from duwamish_spark.algorithms import trussness
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    for seed, n, m in [(5, 18, 80), (9, 30, 200)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        res = trussness(spark, _edges_df(spark, edges))
+        got = {(r["src"], r["dst"]): r["trussness"] for r in res.state.collect()}
+        free_local_checkpoint(res.state)
+        assert res.halted, seed
+        assert got == _brute_trussness(edges), seed
+
+
+def test_trussness_fixed_rounds_upper_bound_and_monotone(spark):
+    from duwamish_spark.algorithms import trussness
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    exact = _brute_trussness(EDGES)
+    prev = None
+    for rounds in [0, 1, 2]:
+        res = trussness(spark, _edges_df(spark), max_rounds=rounds)
+        got = {(r["src"], r["dst"]): r["trussness"] for r in res.state.collect()}
+        free_local_checkpoint(res.state)
+        for e, tv in got.items():
+            assert tv >= exact[e], (rounds, e)
+            if prev is not None:
+                assert tv <= prev[e], (rounds, e)
+        prev = got
+
+
+def test_trussness_triangle_free(spark):
+    from duwamish_spark.algorithms import trussness
+    from duwamish_spark.pregel import free_local_checkpoint
+
+    res = trussness(spark, _edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 4)]))
+    got = {(r["src"], r["dst"]): r["trussness"] for r in res.state.collect()}
+    free_local_checkpoint(res.state)
+    assert res.halted
+    assert got == {(1, 2): 2, (2, 3): 2, (3, 4): 2}
