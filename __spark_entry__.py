@@ -894,6 +894,38 @@ def q_tfidf_top3(spark, sf_dir):
     return tfidf_top_terms(docs, 3)
 
 
+MIX_RATES_PPM = {"src0": 0, "src1": 125_000, "src2": 250_000, "src3": 500_000}
+MIX_DEFAULT_PPM = 750_000
+
+
+def q_mix_sources(spark, sf_dir):
+    """Deterministic per-source data-mixture downsampling: keep iff
+    u32(md5('mix:' || doc_id)) < rate(source)·2^32/10^6 — content-keyed
+    like hash_split, so the mixture is partitioning/engine-stable; the
+    CASE-over-literals rate table is the model-sized broadcast
+    (functions/sampling.py mix_sources; rates from temperature_rates
+    are pytest-gated)."""
+    from duwamish_spark.functions import mix_sources
+
+    return mix_sources(
+        _docs(spark, sf_dir), "doc_id", "source", MIX_RATES_PPM,
+        default_ppm=MIX_DEFAULT_PPM,
+    ).select("doc_id", "source")
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (8-token windows, 2-token overlap) of
+    every document: pure projection + explode, zero shuffle; every
+    chunk string replayed byte-for-byte by DuckDB list functions
+    (functions/text.py chunk_documents)."""
+    from duwamish_spark.functions import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=8, overlap=2,
+        id_col="doc_id", text_col="text",
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Train/eval n-gram contamination audit: training docs (doc_id % 20
     != 0) sharing >= 1 3-token shingle with the benchmark slice (doc_id
@@ -1464,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "doc_split": q_doc_split,
         "stratified_sample": q_stratified_sample,
+        "mix_sources": q_mix_sources,
+        "chunk_docs": q_chunk_docs,
         "contamination": q_contamination,
         "knn_cosine": q_knn_cosine,
         "kmeans_centroids": q_kmeans_centroids,
@@ -2756,6 +2790,51 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _mix_sources_sql() -> str:
+    """Replay of sampling.mix_sources at the driver's literal rate
+    table: same u32 construction as hash_split, thresholds are exact
+    integers ppm·2^32 DIV 10^6; NULL ids excluded, unknown/NULL source
+    takes the default rate via CASE ELSE."""
+    space = 1 << 32
+
+    def thr(ppm):
+        return ppm * space // 1_000_000
+
+    case = "CASE source"
+    for src in sorted(MIX_RATES_PPM):
+        case += f" WHEN '{src}' THEN {thr(MIX_RATES_PPM[src])}"
+    case += f" ELSE {thr(MIX_DEFAULT_PPM)} END"
+    return (
+        "WITH h AS (SELECT doc_id, source, ('0x' || substring(md5('mix:' || "
+        "doc_id::VARCHAR), 1, 8))::UINTEGER::BIGINT AS u FROM documents) "
+        f"SELECT doc_id, source FROM h WHERE doc_id IS NOT NULL AND u < {case}"
+    )
+
+
+def _chunk_docs_sql(chunk: int, overlap: int) -> str:
+    """Replay of text.chunk_documents: trim-split tokens, window starts
+    generate_series(0, n-1, stride) filtered to start < max(1, n-overlap),
+    chunk text via list_slice + array_to_string — byte-for-byte."""
+    stride = chunk - overlap
+    return f"""
+        WITH t AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+            FROM documents),
+        sz AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        st AS (SELECT doc_id, toks, n,
+                unnest(CASE WHEN n >= 1 THEN generate_series(0, n - 1, {stride})
+                            ELSE []::BIGINT[] END) AS strt
+            FROM sz)
+        SELECT doc_id AS id,
+               (strt // {stride})::BIGINT AS chunk_id,
+               strt::BIGINT AS start,
+               len(list_slice(toks, strt + 1, strt + {chunk}))::BIGINT AS n_tokens,
+               array_to_string(list_slice(toks, strt + 1, strt + {chunk}), ' ') AS chunk
+        FROM st WHERE strt < greatest(1, n - {overlap})
+    """
+
+
 def _harmonic_chain_sql(h: int, m: int) -> str:
     """ANF sketch chain + the HLL estimator per hop + the fixed
     left-associative harmonic sum — every float op in the same order as
@@ -3541,6 +3620,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_sql(),
         "doc_split": _doc_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "mix_sources": _mix_sources_sql(),
+        "chunk_docs": _chunk_docs_sql(8, 2),
         "contamination": r"""
             WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
                        FROM documents WHERE length(trim(text)) > 0),

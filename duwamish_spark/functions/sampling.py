@@ -225,3 +225,79 @@ def cap_per_key(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= cap)
     )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, budget: int
+) -> dict[str, int]:
+    """Per-source acceptance rates (integer ppm) for a temperature-
+    scaled data mixture: sampling weight p_s ∝ n_s^alpha (alpha < 1
+    up-weights small sources — the multilingual/data-mixing standard),
+    target take budget·p_s docs from source s, so the acceptance rate
+    is min(1, budget·p_s/n_s), floored to ppm.
+
+    Pure driver-side arithmetic on the model-sized per-source count
+    table (#sources rows — the recommend.py model-size discipline);
+    the returned dict feeds :func:`mix_sources`, which is where the
+    data-sized, engine-replayable work happens. ppm quantization makes
+    the downstream selection integer-exact regardless of float
+    rounding here.
+    """
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError(f"source counts must be positive, got {counts}")
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    tot = sum(n**alpha for n in counts.values())
+    out = {}
+    for s, n in counts.items():
+        p = n**alpha / tot
+        out[s] = min(1_000_000, int(1_000_000 * budget * p / n))
+    return out
+
+
+def mix_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates_ppm: dict[str, int],
+    *,
+    default_ppm: int = 1_000_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source downsampling to a target data mixture:
+    keep a row iff ``u32(md5(salt:id)) < rate·2^32/10^6`` for its
+    source's acceptance rate (integer ppm, from :func:`temperature_rates`
+    or chosen directly). Sources absent from ``rates_ppm`` use
+    ``default_ppm``; NULL sources use ``default_ppm`` too (explicitly —
+    a CASE over literals, so the policy is visible in the plan).
+
+    Content-keyed like hash_split: the kept subset is a pure function
+    of (id, salt, rates), reproducible across runs/engines/cluster
+    sizes and stable under re-ingestion — repartitioning can never
+    move a document in or out of the mixture. Thresholds are exact
+    integers (ppm·2^32 DIV 10^6), so DuckDB replays the selection
+    row-for-row. One linear scan, no shuffle.
+
+    NULL ids are EXPLICITLY excluded (same policy and rationale as
+    stratified_sample: an unhashable row must not drift in and out of
+    the mixture, and the filter is visible in both engines' plans).
+    """
+    if not rates_ppm:
+        raise ValueError("rates_ppm must be non-empty")
+    for s, ppm in {**rates_ppm, "<default>": default_ppm}.items():
+        if not (0 <= ppm <= 1_000_000):
+            raise ValueError(f"rate for {s!r} must be in [0, 1e6] ppm, got {ppm}")
+
+    def thr(ppm: int) -> int:
+        return ppm * _U32_SPACE // 1_000_000
+
+    cond = None
+    for s in sorted(rates_ppm):
+        branch = (F.col(source_col) == s, F.lit(thr(rates_ppm[s])))
+        cond = F.when(*branch) if cond is None else cond.when(*branch)
+    threshold = cond.otherwise(F.lit(thr(default_ppm)))
+    return df.where(
+        F.col(id_col).isNotNull() & (_u32_of(F.col(id_col), salt) < threshold)
+    )

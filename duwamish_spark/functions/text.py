@@ -324,3 +324,62 @@ def pii_scrub(
         )
         t = F.regexp_replace(t, pat, repl)
     return docs.select(*out, t.alias("text_redacted"), *counts)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    whitespace-token windows of ``chunk_tokens`` tokens advancing by
+    ``chunk_tokens - overlap`` — the retrieval/embedding-prep cut
+    (RAG indexing, context-window packing precursors). Output one row
+    per chunk: ``(id, chunk_id, start, n_tokens, chunk)`` with
+    ``start`` the 0-based token offset and ``chunk_id = start/stride``.
+
+    Window rule: offsets 0, stride, 2·stride, … while
+    ``start < max(1, n_tokens − overlap)`` — every token is covered,
+    the tail chunk may be short, and no chunk is fully contained in
+    its predecessor. Whitespace-empty documents produce zero rows.
+
+    Scale shape: pure per-row projection + explode — no shuffle, no
+    UDF, whole-stage codegen; output volume is input tokens ×
+    (1 + overlap/stride), visible in the knobs, not hidden. The
+    construction (trim-split, sequence, slice, array_join) maps
+    1:1 onto DuckDB list functions, so the driver oracle replays
+    every chunk string byte-for-byte.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens_col(text_col)
+    d = docs.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), F.size(toks).alias("n")
+    )
+    starts = F.when(
+        F.col("n") >= 1,
+        F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select("id", "toks", "n", F.explode(starts).alias("start"))
+        .where(F.col("start") < F.greatest(F.lit(1), F.col("n") - F.lit(overlap)))
+        .select(
+            "id",
+            F.expr(f"CAST(start DIV {stride} AS BIGINT)").alias("chunk_id"),
+            F.col("start").cast("long").alias("start"),
+            F.size(F.slice("toks", F.col("start") + 1, F.lit(chunk_tokens)))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice("toks", F.col("start") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk"),
+        )
+    )

@@ -4,6 +4,8 @@ test_entry_contract.py.)"""
 
 from __future__ import annotations
 
+from collections import defaultdict
+
 import pytest
 
 from duwamish_spark.functions import (
@@ -950,3 +952,82 @@ def test_duplicate_spans_validates(spark):
     df = spark.createDataFrame([("a", "b c")], "doc_id string, text string")
     with _pytest.raises(ValueError, match="min_shared"):
         duplicate_spans(df, min_shared=0)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (sliding-window chunking)
+# ---------------------------------------------------------------------------
+
+
+def _brute_chunks(text, chunk, overlap):
+    toks = text.split()
+    n = len(toks)
+    stride = chunk - overlap
+    out = []
+    for s in range(0, max(n, 1), stride):
+        if s >= max(1, n - overlap) or s >= n:
+            break
+        piece = toks[s : s + chunk]
+        out.append((s // stride, s, len(piece), " ".join(piece)))
+    return out
+
+
+def test_chunk_documents_matches_brute(spark):
+    from duwamish_spark.functions import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks
+            (2, " ".join(f"t{i}" for i in range(4))),    # exactly one chunk
+            (3, "a"),                                    # single token
+            (4, "   "),                                  # whitespace-only: no rows
+            (5, "a  b\tc\nd e f g h"),                   # mixed whitespace, 8 toks
+            (6, " ".join(f"t{i}" for i in range(12))),   # n - overlap boundary
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r["id"]].append((r["chunk_id"], r["start"], r["n_tokens"], r["chunk"]))
+    for did, text in [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, " ".join(f"t{i}" for i in range(4))),
+        (3, "a"),
+        (4, ""),
+        (5, "a b c d e f g h"),
+        (6, " ".join(f"t{i}" for i in range(12))),
+    ]:
+        assert sorted(got.get(did, [])) == _brute_chunks(text, 4, 2), did
+
+
+def test_chunk_documents_covers_every_token(spark):
+    from duwamish_spark.functions import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(57))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=16, overlap=4).collect(),
+        key=lambda r: r["start"],
+    )
+    # contiguous cover: first starts at 0, each next start <= prev end,
+    # last chunk reaches the final token
+    assert rows[0]["start"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["start"] <= a["start"] + a["n_tokens"]
+    assert rows[-1]["start"] + rows[-1]["n_tokens"] == 57
+    # no chunk fully contained in its predecessor
+    for a, b in zip(rows, rows[1:]):
+        assert b["start"] + b["n_tokens"] > a["start"] + a["n_tokens"]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from duwamish_spark.functions import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=-1)

@@ -412,3 +412,96 @@ def test_curate_corpus_partition_invariant(spark):
         tuple(r) for r in curate_corpus(docs.repartition(13)).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# mix_sources / temperature_rates (data-mixture downsampling)
+# ---------------------------------------------------------------------------
+
+
+def _mix_docs_df(spark):
+    rows = [
+        (i, f"text {i}", ["web", "wiki", "code", None][i % 4] if i != 40 else "books")
+        for i in range(80)
+    ] + [(None, "null id", "web")]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_temperature_rates_alpha1_uniform():
+    from duwamish_spark.functions.sampling import temperature_rates
+
+    counts = {"a": 1000, "b": 50, "c": 7}
+    rates = temperature_rates(counts, 1.0, 500)
+    # alpha=1: p_s = n_s/total, so rate = budget/total for every source
+    want = int(1_000_000 * 500 / sum(counts.values()))
+    assert all(abs(r - want) <= 1 for r in rates.values()), rates
+
+
+def test_temperature_rates_upweights_small_sources():
+    from duwamish_spark.functions.sampling import temperature_rates
+
+    counts = {"big": 100_000, "small": 100}
+    rates = temperature_rates(counts, 0.5, 10_000)
+    assert rates["small"] > rates["big"]
+    assert all(0 <= r <= 1_000_000 for r in rates.values())
+
+
+def test_temperature_rates_rejects_bad_inputs():
+    from duwamish_spark.functions.sampling import temperature_rates
+
+    with pytest.raises(ValueError):
+        temperature_rates({}, 0.5, 10)
+    with pytest.raises(ValueError):
+        temperature_rates({"a": 0}, 0.5, 10)
+    with pytest.raises(ValueError):
+        temperature_rates({"a": 5}, 0.5, 0)
+
+
+def test_mix_sources_matches_reference_hash(spark):
+    from duwamish_spark.functions.sampling import mix_sources
+
+    rates = {"web": 250_000, "wiki": 1_000_000, "code": 0}
+    got = {
+        r["doc_id"]
+        for r in mix_sources(
+            _mix_docs_df(spark), "doc_id", "source", rates, default_ppm=500_000
+        ).collect()
+    }
+    space = 1 << 32
+    want = set()
+    for i in range(80):
+        src = ["web", "wiki", "code", None][i % 4] if i != 40 else "books"
+        ppm = rates.get(src, 500_000) if src is not None else 500_000
+        if _u32("mix", i) < ppm * space // 1_000_000:
+            want.add(i)
+    assert got == want
+    # rate-0 source fully dropped; NULL id row excluded
+    assert not any(i % 4 == 2 and i != 40 for i in got)
+    assert None not in got
+
+
+def test_mix_sources_stable_under_repartition(spark):
+    from duwamish_spark.functions.sampling import mix_sources
+
+    df = _mix_docs_df(spark)
+    rates = {"web": 300_000, "wiki": 700_000}
+    a = {r["doc_id"] for r in mix_sources(df, "doc_id", "source", rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in mix_sources(
+            df.repartition(7, "source"), "doc_id", "source", rates
+        ).collect()
+    }
+    assert a == b
+
+
+def test_mix_sources_rejects_bad_rates(spark):
+    from duwamish_spark.functions.sampling import mix_sources
+
+    df = _mix_docs_df(spark)
+    with pytest.raises(ValueError):
+        mix_sources(df, "doc_id", "source", {})
+    with pytest.raises(ValueError):
+        mix_sources(df, "doc_id", "source", {"web": 2_000_000})
+    with pytest.raises(ValueError):
+        mix_sources(df, "doc_id", "source", {"web": 5}, default_ppm=-1)
