@@ -581,6 +581,21 @@ def q_lp_round3(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3).state
 
 
+def q_lp_seeded_round3(spark, sf_dir):
+    """Semi-supervised label propagation, fixed 3 rounds: seeds
+    (id % 50 == 0, label = id % 7) are clamped, all other vertices
+    start NULL and adopt the mode of their LABELED neighbors
+    (smallest-label ties); unreached vertices stay NULL
+    (algorithms/labelprop.py seeded_label_propagation)."""
+    from duwamish_spark.algorithms import seeded_label_propagation
+
+    v, e = _graph(spark, sf_dir)
+    seeds = v.where(F.col("id") % 50 == 0).select(
+        "id", (F.col("id") % 7).alias("label")
+    )
+    return seeded_label_propagation(spark, v, e, seeds, max_supersteps=3).state
+
+
 def q_louvain_round2(spark, sf_dir):
     """Two deterministic Louvain move rounds (direction-alternating,
     exact DECIMAL(38,0) gains, smallest-community tie-break) — the
@@ -1519,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_auto_algorithm": q_cc_auto_algorithm,
         "lp_round3": q_lp_round3,
         "lp_round3_delta": q_lp_round3_delta,
+        "lp_seeded_round3": q_lp_seeded_round3,
         # -- 3. flagship set (pagerank_converged/fixed10 lead: pregel.py
         #    changed this round via the stats-reset sweep, so they need
         #    fresh rows more than the untouched out-degree/step1 gates) --
@@ -1611,6 +1627,39 @@ def _lp_chain_sql(steps: int) -> str:
     return (
         "WITH " + ",\n".join(_lp_chain_ctes(steps))
         + f"\nSELECT id, label FROM l{steps}"
+    )
+
+
+def _lp_seeded_chain_sql(steps: int) -> str:
+    """Replay of seeded_label_propagation fixed rounds: s0 = clamped
+    seeds / NULL elsewhere; each round counts LABELED-neighbor votes,
+    argmax by (count DESC, label ASC), seeds keep their label, voteless
+    vertices keep their current (possibly NULL) label."""
+    ctes = [
+        _EDGE_CTE,
+        _VERT_CTE,
+        _SYM_CTE,
+        "s0 AS (SELECT id, CASE WHEN id % 50 = 0 THEN id % 7 END AS label, "
+        "CASE WHEN id % 50 = 0 THEN 1 ELSE 0 END AS seed FROM v)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"c{i} AS (SELECT sym.dst AS id, l.label AS m, count(*) AS c FROM sym "
+            f"JOIN s{i-1} l ON l.id = sym.src WHERE l.label IS NOT NULL "
+            f"GROUP BY sym.dst, l.label)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT id, m, row_number() OVER (PARTITION BY id "
+            f"ORDER BY c DESC, m ASC) AS rn FROM c{i})"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT s.id, CASE WHEN s.seed = 1 THEN s.label "
+            f"ELSE coalesce(p.m, s.label) END AS label, s.seed FROM s{i-1} s "
+            f"LEFT JOIN (SELECT id, m FROM p{i} WHERE rn = 1) p ON p.id = s.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, label, seed FROM s{steps}"
     )
 
 
@@ -3532,6 +3581,7 @@ def oracle_sql() -> dict[str, str]:
         "lp_round3": _lp_chain_sql(3),
         "louvain_round2": _louvain_chain_sql(2),
         "lp_round3_delta": _lp_chain_sql(3),
+        "lp_seeded_round3": _lp_seeded_chain_sql(3),
         "lp_round3_shuffle": _lp_chain_sql(3),
         "triangles_per_vertex": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE},

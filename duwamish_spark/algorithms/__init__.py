@@ -4,7 +4,10 @@ from duwamish_spark.algorithms.components import (
     connected_components,
     connected_components_alternating,
 )
-from duwamish_spark.algorithms.labelprop import label_propagation
+from duwamish_spark.algorithms.labelprop import (
+    label_propagation,
+    seeded_label_propagation,
+)
 from duwamish_spark.algorithms.louvain import louvain
 from duwamish_spark.algorithms.triangles import triangle_count, triangle_count_per_vertex
 from duwamish_spark.algorithms.sssp import shortest_paths
@@ -98,6 +101,7 @@ __all__ = [
     "connected_components",
     "connected_components_alternating",
     "label_propagation",
+    "seeded_label_propagation",
     "louvain",
     "triangle_count",
     "triangle_count_per_vertex",

@@ -330,3 +330,106 @@ def label_propagation(
         return res
     finally:
         edges_sym.unpersist()
+
+
+def _lp_seeded_step(state: DataFrame, edges_sym: DataFrame) -> DataFrame:
+    labeled = state.where(F.col("label").isNotNull()).select("id", "label")
+    msgs = labeled.hint("shuffle_hash").join(
+        edges_sym, labeled["id"] == edges_sym["src"]
+    ).select("dst", F.col("label").alias("m"))
+    counts = combine_messages(msgs, [("cnt", "m", "count")], key=["dst", "m"])
+    mode = counts.groupBy("dst").agg(
+        F.min_by("m", F.struct((-F.col("cnt")).alias("nc"), F.col("m"))).alias("mlabel"),
+        F.sum("cnt").alias("mcnt"),
+    ).withColumnRenamed("dst", "id")
+    new = F.when(F.col("seed") == 1, F.col("label")).otherwise(
+        F.coalesce("mlabel", "label")
+    )
+    return state.join(mode.hint("shuffle_hash"), "id", "left").select(
+        "id",
+        new.alias("label"),
+        "seed",
+        F.when(new.eqNullSafe(F.col("label")), 0).otherwise(1).alias("_changed"),
+        F.coalesce("mcnt", F.lit(0)).alias("_msgs"),
+    )
+
+
+def seeded_label_propagation(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_supersteps: int = 20,
+    checkpoint_dir: str | None = None,
+    run_id: str = "lp_seeded",
+    reliable_interval: int = 5,
+    num_partitions: int | None = None,
+    halt_interval: int = 1,
+    resume: bool = False,
+) -> PregelResult:
+    """Semi-supervised label propagation: ``seeds`` is a DataFrame
+    ``(id, label)`` of vertices with KNOWN community labels; those
+    labels are clamped (a seed never changes), every other vertex
+    starts unlabeled (NULL) and each round adopts the mode of its
+    LABELED neighbors (smallest-label tie-break — the engine's LP
+    comparator), so labels flood outward from the seeds. Result state:
+    ``(id, label, seed)`` — vertices unreachable from any seed keep
+    label NULL (an honest "no information" marker, the MIS/coloring
+    budget-contract discipline).
+
+    This is the standard seed-expansion classifier on a link graph
+    (topic/spam labels from a small audited set, owner labels from a
+    CODEOWNERS-style seed file). Unlike :func:`label_propagation`
+    (label = own id, every vertex votes), only LABELED vertices emit —
+    early rounds ship O(frontier) messages, converged regions keep
+    voting but quiet regions with no labeled neighbor are never
+    updated. Same per-round shape as LP: one (dst, label)-keyed count
+    combine (map-side partial) + per-dst argmax + V-row update join.
+
+    Seeds for ids absent from ``vertices`` are ignored (the update is
+    a left join from the vertex relation); duplicate seed ids must not
+    disagree (first by smallest label wins deterministically).
+    Labels occupy their own value domain (not vertex ids), so the
+    order-preserving id-encoding optimization is deliberately skipped.
+    """
+    require_seed_cols = {"id", "label"}
+    if not require_seed_cols.issubset(set(seeds.columns)):
+        raise ValueError(f"seeds must have columns {sorted(require_seed_cols)}")
+    # deterministic collapse of duplicate seed rows: smallest label wins
+    sd = seeds.groupBy("id").agg(F.min("label").alias("label"))
+
+    edges_sym = symmetrize(edges)
+    if num_partitions:
+        edges_sym = edges_sym.repartition(num_partitions, "src")
+    edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
+    edges_sym.count()
+
+    init = vertices.join(sd, "id", "left").select(
+        "id",
+        "label",
+        F.col("label").isNotNull().cast("int").alias("seed"),
+    )
+    if num_partitions:
+        init = init.repartition(num_partitions, "id")
+
+    metrics = {
+        "changed": F.sum("_changed"),
+        "message_count": F.sum("_msgs"),
+        "labeled": F.sum(F.col("label").isNotNull().cast("long")),
+    }
+    runner = Pregel(
+        spark,
+        step=lambda st, s: _lp_seeded_step(st, edges_sym),
+        metrics_exprs=metrics,
+        halt=lambda m, s: (m["changed"] or 0) == 0,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        reliable_interval=reliable_interval,
+        max_supersteps=max_supersteps,
+        halt_interval=halt_interval,
+    )
+    try:
+        return runner.run(init, resume=resume)
+    finally:
+        edges_sym.unpersist()

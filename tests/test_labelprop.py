@@ -117,3 +117,121 @@ def test_delta_isolated_vertex_keeps_label(spark):
         got = {r["id"]: r["label"] for r in res.state.collect()}
         assert got == lp_oracle(ids, [("a", "b")], rounds=rounds)
         assert got["z"] == "z"
+
+
+# ---------------------------------------------------------------------------
+# seeded (semi-supervised) label propagation
+# ---------------------------------------------------------------------------
+
+
+def _brute_seeded(ids, edges, seeds, rounds):
+    """Synchronous replay: seeds clamp, others take the mode of LABELED
+    neighbors (ties -> smallest label), unlabeled stay None."""
+    from collections import Counter, defaultdict
+
+    nb = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nb[a].add(b)
+            nb[b].add(a)
+    lab = {i: seeds.get(i) for i in ids}
+    for _ in range(rounds):
+        nxt = {}
+        for v in ids:
+            if v in seeds:
+                nxt[v] = seeds[v]
+                continue
+            votes = Counter(
+                lab[u] for u in nb[v] if u in lab and lab[u] is not None
+            )
+            if votes:
+                best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                nxt[v] = best
+            else:
+                nxt[v] = lab[v]
+        if nxt == lab:
+            break
+        lab = nxt
+    return lab
+
+
+def _run_seeded(spark, ids, edges, seeds, rounds=20):
+    from duwamish_spark.algorithms import seeded_label_propagation
+
+    sd = spark.createDataFrame(
+        list(seeds.items()), "id string, label string"
+    )
+    res = seeded_label_propagation(
+        spark,
+        vertices_df(spark, ids),
+        edges_df(spark, edges),
+        sd,
+        max_supersteps=rounds,
+    )
+    return {r["id"]: r["label"] for r in res.state.collect()}, res
+
+
+def test_seeded_floods_from_seeds_and_clamps(spark):
+    # path a-b-c-d-e with seeds at the ends: labels meet in the middle
+    ids = list("abcde")
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    seeds = {"a": "L", "e": "R"}
+    got, res = _run_seeded(spark, ids, edges, seeds)
+    assert res.halted
+    assert got["a"] == "L" and got["e"] == "R"          # clamped
+    # ties break to the smallest label, so "L" floods through the middle
+    assert got["b"] == "L" and got["c"] == "L" and got["d"] == "L"
+    assert got == _brute_seeded(ids, edges, seeds, 20)
+
+
+def test_seeded_unreachable_island_stays_null(spark):
+    ids = list("abcxy")
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    got, res = _run_seeded(spark, ids, edges, {"a": "T"})
+    assert res.halted
+    assert got["x"] is None and got["y"] is None
+    assert got["b"] == "T" and got["c"] == "T"
+
+
+def test_seeded_matches_brute_random(spark):
+    for seed, n, m, rounds in [(4, 40, 90, 3), (12, 60, 160, 5)]:
+        import random as _r
+
+        rng = _r.Random(seed)
+        ids = [f"v{i}" for i in range(n)]
+        edges = [
+            (ids[rng.randrange(n)], ids[rng.randrange(n)]) for _ in range(m)
+        ]
+        seeds = {ids[i]: f"c{i % 3}" for i in range(0, n, 7)}
+        got, _ = _run_seeded(spark, ids, edges, seeds, rounds=rounds)
+        assert got == _brute_seeded(ids, edges, seeds, rounds), seed
+
+
+def test_seeded_duplicate_seed_smallest_label_wins(spark):
+    from duwamish_spark.algorithms import seeded_label_propagation
+
+    ids = ["a", "b"]
+    sd = spark.createDataFrame(
+        [("a", "z"), ("a", "c")], "id string, label string"
+    )
+    res = seeded_label_propagation(
+        spark,
+        vertices_df(spark, ids),
+        edges_df(spark, [("a", "b")]),
+        sd,
+        max_supersteps=3,
+    )
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got == {"a": "c", "b": "c"}
+
+
+def test_seeded_rejects_bad_seed_schema(spark):
+    from duwamish_spark.algorithms import seeded_label_propagation
+
+    with pytest.raises(ValueError):
+        seeded_label_propagation(
+            spark,
+            vertices_df(spark, ["a"]),
+            edges_df(spark, []),
+            vertices_df(spark, ["a"]),  # no label column
+        )
