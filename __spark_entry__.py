@@ -581,6 +581,17 @@ def q_lp_round3(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3).state
 
 
+def q_wl_round2(spark, sf_dir):
+    """Hashed Weisfeiler-Lehman role signatures, 2 refinement rounds:
+    neighbor multisets enter via order-independent integer hash sums,
+    so every signature is replayed bit-for-bit by a chained CTE
+    (algorithms/wl.py wl_signatures)."""
+    from duwamish_spark.algorithms import wl_signatures
+
+    v, e = _graph(spark, sf_dir)
+    return wl_signatures(spark, v, e, rounds=2).state
+
+
 def q_lp_seeded_round3(spark, sf_dir):
     """Semi-supervised label propagation, fixed 3 rounds: seeds
     (id % 50 == 0, label = id % 7) are clamped, all other vertices
@@ -1535,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_round3": q_lp_round3,
         "lp_round3_delta": q_lp_round3_delta,
         "lp_seeded_round3": q_lp_seeded_round3,
+        "wl_round2": q_wl_round2,
         # -- 3. flagship set (pagerank_converged/fixed10 lead: pregel.py
         #    changed this round via the stats-reset sweep, so they need
         #    fresh rows more than the untouched out-degree/step1 gates) --
@@ -1627,6 +1639,43 @@ def _lp_chain_sql(steps: int) -> str:
     return (
         "WITH " + ",\n".join(_lp_chain_ctes(steps))
         + f"\nSELECT id, label FROM l{steps}"
+    )
+
+
+def _wl_chain_sql(rounds: int) -> str:
+    """Replay of wl_signatures: sig0 = u32(md5('wl0:' || degree)); each
+    round sums per-neighbor u32(md5('wlh:' || sig)) and rehashes
+    'wl{t}:sig:sum' — all integer, order-independent."""
+
+    def u32(expr: str) -> str:
+        return f"('0x' || substring(md5({expr}), 1, 8))::UINTEGER::BIGINT"
+
+    ctes = [
+        _EDGE_CTE,
+        _VERT_CTE,
+        _SYM_CTE,
+        "wdeg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)",
+        "s0 AS (SELECT v.id, " + u32("'wl0:' || coalesce(wdeg.d, 0)::VARCHAR")
+        + " AS wl_sig FROM v LEFT JOIN wdeg ON wdeg.id = v.id)",
+    ]
+    for t in range(1, rounds + 1):
+        hexpr = u32("'wlh:' || s.wl_sig::VARCHAR")
+        ctes.append(
+            f"h{t} AS (SELECT sym.dst AS id, {hexpr} AS h "
+            f"FROM sym JOIN s{t-1} s ON s.id = sym.src)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT id, sum(h)::BIGINT AS sm FROM h{t} GROUP BY id)"
+        )
+        sexpr = u32(
+            f"'wl{t}:' || s.wl_sig::VARCHAR || ':' || coalesce(m.sm, 0)::VARCHAR"
+        )
+        ctes.append(
+            f"s{t} AS (SELECT s.id, {sexpr} AS wl_sig "
+            f"FROM s{t-1} s LEFT JOIN m{t} m ON m.id = s.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, wl_sig FROM s{rounds}"
     )
 
 
@@ -3582,6 +3631,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_round2": _louvain_chain_sql(2),
         "lp_round3_delta": _lp_chain_sql(3),
         "lp_seeded_round3": _lp_seeded_chain_sql(3),
+        "wl_round2": _wl_chain_sql(2),
         "lp_round3_shuffle": _lp_chain_sql(3),
         "triangles_per_vertex": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE},

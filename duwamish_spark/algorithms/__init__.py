@@ -43,6 +43,7 @@ from duwamish_spark.algorithms.msf import (
 )
 from duwamish_spark.algorithms.coreness import coreness
 from duwamish_spark.algorithms.trussness import trussness
+from duwamish_spark.algorithms.wl import wl_signatures
 from duwamish_spark.algorithms.layering import topological_depth
 from duwamish_spark.algorithms.structure import (
     clustering_coefficient,
@@ -64,6 +65,7 @@ __all__ = [
     "cocitation",
     "coreness",
     "trussness",
+    "wl_signatures",
     "degree_assortativity",
     "reciprocity",
     "rich_club",
