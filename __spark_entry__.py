@@ -581,6 +581,20 @@ def q_lp_round3(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3).state
 
 
+def q_percolation_round3(spark, sf_dir):
+    """Bond-percolation snowball sample, fixed 3 hops from seeds
+    (id % 100 == 0, p = 0.4): kept edges are a deterministic pure
+    function of (edge, salt), so the sampled vertex set is replayed
+    exactly by a chained closure CTE (algorithms/gsample.py)."""
+    from duwamish_spark.algorithms import percolation_sample
+
+    v, e = _graph(spark, sf_dir)
+    seeds = v.where(F.col("id") % 100 == 0)
+    return percolation_sample(
+        spark, e, seeds, p_ppm=400_000, max_rounds=3
+    ).state
+
+
 def q_wl_round2(spark, sf_dir):
     """Hashed Weisfeiler-Lehman role signatures, 2 refinement rounds:
     neighbor multisets enter via order-independent integer hash sums,
@@ -1547,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_round3_delta": q_lp_round3_delta,
         "lp_seeded_round3": q_lp_seeded_round3,
         "wl_round2": q_wl_round2,
+        "percolation_round3": q_percolation_round3,
         # -- 3. flagship set (pagerank_converged/fixed10 lead: pregel.py
         #    changed this round via the stats-reset sweep, so they need
         #    fresh rows more than the untouched out-degree/step1 gates) --
@@ -1640,6 +1655,31 @@ def _lp_chain_sql(steps: int) -> str:
         "WITH " + ",\n".join(_lp_chain_ctes(steps))
         + f"\nSELECT id, label FROM l{steps}"
     )
+
+
+def _percolation_chain_sql(rounds: int, p_ppm: int) -> str:
+    """Replay of percolation_sample fixed rounds: kept = distinct
+    non-loop arcs under the md5 edge coin, then `rounds` closure
+    expansions. Explicit DISTINCT per level (DuckDB evaluates plain
+    UNION between non-recursive CTE branches as UNION ALL — the
+    bow-tie oracle's documented quirk)."""
+    thr = p_ppm * (1 << 32) // 1_000_000
+    ctes = [
+        _EDGE_CTE,
+        _VERT_CTE,
+        "de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        "kept AS (SELECT src, dst FROM de WHERE ('0x' || substring(md5("
+        "'burn:' || src::VARCHAR || ':' || dst::VARCHAR), 1, 8))"
+        f"::UINTEGER::BIGINT < {thr})",
+        "r0 AS (SELECT id FROM v WHERE id % 100 = 0)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"r{t} AS (SELECT DISTINCT id FROM ("
+            f"SELECT id FROM r{t-1} UNION ALL "
+            f"SELECT kept.dst AS id FROM kept JOIN r{t-1} ON r{t-1}.id = kept.src))"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM r{rounds}"
 
 
 def _wl_chain_sql(rounds: int) -> str:
@@ -3632,6 +3672,7 @@ def oracle_sql() -> dict[str, str]:
         "lp_round3_delta": _lp_chain_sql(3),
         "lp_seeded_round3": _lp_seeded_chain_sql(3),
         "wl_round2": _wl_chain_sql(2),
+        "percolation_round3": _percolation_chain_sql(3, 400_000),
         "lp_round3_shuffle": _lp_chain_sql(3),
         "triangles_per_vertex": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE},

@@ -44,6 +44,7 @@ from duwamish_spark.algorithms.msf import (
 from duwamish_spark.algorithms.coreness import coreness
 from duwamish_spark.algorithms.trussness import trussness
 from duwamish_spark.algorithms.wl import wl_signatures
+from duwamish_spark.algorithms.gsample import percolation_edges, percolation_sample
 from duwamish_spark.algorithms.layering import topological_depth
 from duwamish_spark.algorithms.structure import (
     clustering_coefficient,
@@ -66,6 +67,8 @@ __all__ = [
     "coreness",
     "trussness",
     "wl_signatures",
+    "percolation_edges",
+    "percolation_sample",
     "degree_assortativity",
     "reciprocity",
     "rich_club",

@@ -231,3 +231,79 @@ def test_repo_mapping_and_contract_on_corpus(spark):
         .count()
     )
     assert sum(r["weight"] for r in rows) == cross
+
+
+# ---------------------------------------------------------------------------
+# percolation snowball sampling (gsample.py)
+# ---------------------------------------------------------------------------
+
+
+def _pu32(salt, u, v):
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}:{u}:{v}".encode()).hexdigest()[:8], 16)
+
+
+def _brute_percolation(edges, seeds, p_ppm, rounds, salt="burn"):
+    thr = p_ppm * (1 << 32) // 1_000_000
+    kept = {
+        (u, v)
+        for u, v in set(edges)
+        if u != v and _pu32(salt, u, v) < thr
+    }
+    reached = set(seeds)
+    frontier = set(seeds)
+    for _ in range(rounds):
+        nxt = {v for u, v in kept if u in frontier} - reached
+        if not nxt:
+            break
+        reached |= nxt
+        frontier = nxt
+    return reached
+
+
+def test_percolation_sample_matches_brute(spark):
+    from duwamish_spark.algorithms import percolation_sample
+
+    rng = random.Random(31)
+    n, m = 60, 240
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    seeds = [0, 7, 13]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(s,) for s in seeds], "id long")
+    for p in (0, 300_000, 700_000, 1_000_000):
+        res = percolation_sample(spark, e, sd, p_ppm=p)
+        got = {r["id"] for r in res.state.collect()}
+        assert got == _brute_percolation(edges, seeds, p, 10_000), p
+        assert res.halted
+    # p=0: nothing burns beyond the seeds
+    res0 = percolation_sample(spark, e, sd, p_ppm=0)
+    assert {r["id"] for r in res0.state.collect()} == set(seeds)
+
+
+def test_percolation_fixed_rounds_is_hop_ball(spark):
+    from duwamish_spark.algorithms import percolation_sample
+
+    # chain 0->1->2->3->4, p=1: r rounds reach exactly r hops
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    sd = spark.createDataFrame([(0,)], "id long")
+    res = percolation_sample(spark, e, sd, p_ppm=1_000_000, max_rounds=2)
+    assert {r["id"] for r in res.state.collect()} == {0, 1, 2}
+    assert not res.halted
+
+
+def test_percolation_deterministic_and_monotone_in_p(spark):
+    from duwamish_spark.algorithms import percolation_edges
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    kept_lo = {(r["src"], r["dst"]) for r in percolation_edges(e, p_ppm=200_000).collect()}
+    kept_hi = {(r["src"], r["dst"]) for r in percolation_edges(e, p_ppm=800_000).collect()}
+    assert kept_lo <= kept_hi  # nested samples: same coin, higher threshold
+    again = {(r["src"], r["dst"]) for r in percolation_edges(e.repartition(7), p_ppm=200_000).collect()}
+    assert again == kept_lo
+    with pytest.raises(ValueError):
+        percolation_edges(e, p_ppm=2_000_000)
