@@ -581,6 +581,25 @@ def q_lp_round3(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3).state
 
 
+def q_triad_census(spark, sf_dir):
+    """Full 16-class directed triad census (Holland-Leinhardt MAN
+    codes): >=2-dyad triads enumerated once each (unique-center /
+    min-center rule), 0/1-dyad classes by the Batagelj-Mrvar closed
+    forms; counts cast BIGINT for the gate (the library emits
+    DECIMAL(38,0) for 10^12-vertex C(n,3)) (algorithms/triads.py)."""
+    from duwamish_spark.algorithms import triad_census
+
+    v, e = _graph(spark, sf_dir)
+    # thinned arc relation (same predicate in the oracle): the derived
+    # lineitem graph is dense and the census wedge volume is
+    # output-bound quadratic — the gate probes correctness, bench.py
+    # carries the perf story
+    et = e.where((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+    return triad_census(spark, v, et).select(
+        "triad", F.col("count").cast("long").alias("count")
+    )
+
+
 def q_percolation_round3(spark, sf_dir):
     """Bond-percolation snowball sample, fixed 3 hops from seeds
     (id % 100 == 0, p = 0.4): kept edges are a deterministic pure
@@ -1562,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_seeded_round3": q_lp_seeded_round3,
         "wl_round2": q_wl_round2,
         "percolation_round3": q_percolation_round3,
+        "triad_census": q_triad_census,
         # -- 3. flagship set (pagerank_converged/fixed10 lead: pregel.py
         #    changed this round via the stats-reset sweep, so they need
         #    fresh rows more than the untouched out-degree/step1 gates) --
@@ -1655,6 +1675,82 @@ def _lp_chain_sql(steps: int) -> str:
         "WITH " + ",\n".join(_lp_chain_ctes(steps))
         + f"\nSELECT id, label FROM l{steps}"
     )
+
+
+def _triad_census_sql() -> str:
+    """Replay of triads.triad_census: dyad table with direction flags,
+    wedge enumeration with the unique-center / min-center rule, the
+    degree-code key classification (shared TRIAD_KEYS table), and the
+    Batagelj-Mrvar closed forms with exact factor-wise C(n,3)."""
+    from duwamish_spark.algorithms.triads import TRIAD_KEYS, TRIAD_NAMES
+
+    case = "CASE key"
+    for k, nm in sorted(TRIAD_KEYS.items()):
+        case += f" WHEN {k[0] * 81 + k[1] * 9 + k[2]} THEN '{nm}'"
+    case += " END"
+    names = ", ".join(f"('{t}')" for t in TRIAD_NAMES)
+    return f"""
+        WITH {_EDGE_CTE}, {_VERT_CTE},
+        et AS (SELECT src, dst FROM e WHERE (src * 31 + dst) % 7 = 0),
+        de AS (SELECT DISTINCT src, dst FROM et WHERE src <> dst),
+        dy AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v2,
+                      max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fuv,
+                      max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS fvu
+               FROM de GROUP BY 1, 2),
+        scal AS (SELECT coalesce(sum(fuv * fvu), 0)::BIGINT AS m_d,
+                        coalesce(sum(CASE WHEN fuv + fvu = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS a_d
+                 FROM dy),
+        nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        sym AS (SELECT u AS a, v2 AS b, fuv AS fab, fvu AS fba FROM dy
+                UNION ALL SELECT v2, u, fvu, fuv FROM dy),
+        wed AS (SELECT l.a, l.b, r.b AS c, l.fab, l.fba,
+                       r.fab AS fac, r.fba AS fca,
+                       coalesce(d.fuv, 0) AS fbc, coalesce(d.fvu, 0) AS fcb
+                FROM sym l JOIN sym r ON l.a = r.a AND l.b < r.b
+                LEFT JOIN dy d ON d.u = l.b AND d.v2 = r.b),
+        en AS (SELECT * FROM wed WHERE (fbc + fcb = 0) OR (a < b)),
+        cls AS (SELECT (fba + fca) * 3 + (fab + fac) AS ca,
+                       (fab + fcb) * 3 + (fba + fbc) AS cb,
+                       (fac + fbc) * 3 + (fca + fcb) AS cc,
+                       fab * fba + fac * fca + fbc * fcb AS mc,
+                       (CASE WHEN fab + fba = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN fac + fca = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN fbc + fcb = 1 THEN 1 ELSE 0 END) AS ac
+                FROM en),
+        keyed AS (SELECT least(ca, cb, cc) * 81
+                         + (ca + cb + cc - least(ca, cb, cc) - greatest(ca, cb, cc)) * 9
+                         + greatest(ca, cb, cc) AS key, mc, ac
+                  FROM cls),
+        cnt AS (SELECT {case} AS triad, count(*)::BIGINT AS cn
+                FROM keyed GROUP BY 1),
+        tot AS (SELECT count(*)::BIGINT AS t_enum,
+                       coalesce(sum(ac), 0)::BIGINT AS sum_a,
+                       coalesce(sum(mc), 0)::BIGINT AS sum_m
+                FROM keyed),
+        base AS (SELECT * FROM scal, nn, tot),
+        cf AS (SELECT
+                 (CASE WHEN n % 3 = 0
+                       THEN (CASE WHEN n % 2 = 0 THEN n // 2 ELSE n END) // 3
+                       ELSE (CASE WHEN n % 2 = 0 THEN n // 2 ELSE n END) END) AS g1,
+                 (CASE WHEN n % 3 = 1
+                       THEN (CASE WHEN n % 2 = 0 THEN n - 1 ELSE (n - 1) // 2 END) // 3
+                       ELSE (CASE WHEN n % 2 = 0 THEN n - 1 ELSE (n - 1) // 2 END) END) AS g2,
+                 (CASE WHEN n % 3 = 2 THEN (n - 2) // 3 ELSE n - 2 END) AS g3,
+                 * FROM base),
+        closedf AS (SELECT
+              a_d * (n - 2) - sum_a AS c012,
+              m_d * (n - 2) - sum_m AS c102,
+              (CASE WHEN n >= 3 THEN g1 * g2 * g3 ELSE 0 END)
+                - t_enum - (a_d * (n - 2) - sum_a) - (m_d * (n - 2) - sum_m) AS c003
+            FROM cf),
+        allc AS (SELECT triad, cn FROM cnt
+                 UNION ALL SELECT '003', c003 FROM closedf
+                 UNION ALL SELECT '012', c012 FROM closedf
+                 UNION ALL SELECT '102', c102 FROM closedf),
+        namelist(triad) AS (VALUES {names})
+        SELECT namelist.triad AS triad, coalesce(allc.cn, 0)::BIGINT AS count
+        FROM namelist LEFT JOIN allc ON allc.triad = namelist.triad
+    """
 
 
 def _percolation_chain_sql(rounds: int, p_ppm: int) -> str:
@@ -3673,6 +3769,7 @@ def oracle_sql() -> dict[str, str]:
         "lp_seeded_round3": _lp_seeded_chain_sql(3),
         "wl_round2": _wl_chain_sql(2),
         "percolation_round3": _percolation_chain_sql(3, 400_000),
+        "triad_census": _triad_census_sql(),
         "lp_round3_shuffle": _lp_chain_sql(3),
         "triangles_per_vertex": f"""
             WITH {_EDGE_CTE}, {_VERT_CTE},
