@@ -1510,18 +1510,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return res.state
 
 
+# The driver records correctness rows for the FIRST 50 queries each
+# round. _WINDOW pins that composition explicitly, in priority order:
+# (a) round-4 additions with no driver row yet, (b) the 4 queries never
+# checked in any round (r3 verdict item), (c) everything whose code
+# changed since its last green row (anf self-loop fix, assortativity
+# DECIMAL, mis/densest ADVICE fixes, dedup prefilters, pregel
+# stats-reset -> one representative per iterative core:
+# pagerank_converged / cc_converged / lp_round3 + the delta variant).
+# Rotated out: r2/r3-green queries whose functions are untouched and
+# whose shared machinery stays gated by an in-window sibling
+# (pagerank_fixed10* by pagerank_converged, cc variants by cc_converged,
+# ngram_jaccard's pair relation by dedup_groups, knn/simhash/embedding
+# paths r2-green and function-level untouched).
+_WINDOW = [
+    "louvain_round2", "boilerplate_strip", "semdedup", "salsa_round3",
+    "host_graph", "bowtie_regions", "dsir_weights", "lm_perplexity",
+    "sessionize", "event_rates", "dsir_resample", "duplicate_spans",
+    "curation_pipeline", "dedup_groups", "source_cap",
+    "pagerank_dangling_fixed5", "cc_warmstart", "repetition_stats",
+    "paragraph_dedup", "pii_scrub", "pack_sequences", "spam_mass_fixed10",
+    "effective_diameter_h3", "eigenvector_round3", "katz_round3",
+    "matching_round1", "coloring_round3",
+    "tfidf_top3", "doc_split", "stratified_sample", "mix_sources",
+    "chunk_docs", "contamination",
+    "rich_club", "trussness_round2", "lp_seeded_round3", "wl_round2",
+    "percolation_round3", "triad_census",
+    "anf_sketch_h3", "harmonic_h3", "closeness_h3", "degree_assortativity",
+    "mis_round1", "densest_round2", "minhash_near_dups",
+    "pagerank_converged", "cc_converged", "lp_round3", "lp_round3_delta",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's per-round correctness gate caps
-    # at ~50 entries (r3 recorded exactly the first 50 of 68), so the
-    # front of this dict rotates each round:
-    #   1. queries with no round-3 row (the text/dedup/similarity/
-    #      multimodal tail, incl. 4 never driver-checked),
-    #   2. queries whose implementation changed this round (ANF family
-    #      vertex-set fix; CC/LP frontier; assortativity/mis/densest),
-    #   3. the flagship PageRank/SSSP/recommend/parse set.
-    # The 18 rotated past position 50 are long-stable graph ops with
-    # green r3 rows and untouched code this round.
-    return {
+    d = {
         # -- 0. new in round 4 (never driver-checked) --
         "louvain_round2": q_louvain_round2,
         "boilerplate_strip": q_boilerplate_strip,
@@ -1648,6 +1670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "media_decode": q_media_decode,
     }
+    assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
+    order = _WINDOW + [k for k in d if k not in set(_WINDOW)]
+    return {k: d[k] for k in order}
 
 
 

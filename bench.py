@@ -813,6 +813,82 @@ def main() -> None:
     }
     free_local_checkpoint(topo.state)
 
+    # round-4 session-7 additions (detail-only): cohesion decomposition,
+    # micro-structure census and WL roles on the d15 graph (triangle/
+    # wedge-bounded workloads); seeded LP / sampling / rich-club on the
+    # main deg-127 graph (E-bounded per round)
+    from duwamish_spark.algorithms import (
+        percolation_sample,
+        rich_club,
+        seeded_label_propagation,
+        triad_census,
+        trussness,
+        wl_signatures,
+    )
+
+    t0 = time.monotonic()
+    tn = trussness(spark, sedges)
+    tmax = tn.state.agg(F.max("trussness")).collect()[0][0]
+    extra["trussness_d15"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "rounds": tn.supersteps,
+        "halted": tn.halted,
+        "max_truss": tmax,
+    }
+    free_local_checkpoint(tn.state)
+
+    t0 = time.monotonic()
+    tc_rows = {
+        r["triad"]: int(r["count"])
+        for r in triad_census(spark, verts, sedges).collect()
+    }
+    extra["triad_census_d15"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "030T": tc_rows.get("030T", 0),
+        "030C": tc_rows.get("030C", 0),
+        "300": tc_rows.get("300", 0),
+    }
+
+    t0 = time.monotonic()
+    wl = wl_signatures(spark, verts, edges, rounds=3)
+    extra["wl_roles_r3"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "colors": wl.metrics[-1]["colors"] if wl.metrics else None,
+    }
+    free_local_checkpoint(wl.state)
+
+    t0 = time.monotonic()
+    slp = seeded_label_propagation(
+        spark, verts, edges,
+        verts.where(F.col("id") % 100 == 0).select(
+            "id", (F.col("id") % 11).alias("label")
+        ),
+        max_supersteps=5, num_partitions=cpus,
+    )
+    extra["seeded_lp_5"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "labeled": slp.last.get("labeled"),
+    }
+    free_local_checkpoint(slp.state)
+
+    t0 = time.monotonic()
+    ps = percolation_sample(
+        spark, edges, verts.where(F.col("id") % 1000 == 0), p_ppm=300_000
+    )
+    extra["percolation_sample_p03"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "sampled": ps.state.count(),
+        "rounds": ps.supersteps,
+    }
+    free_local_checkpoint(ps.state)
+
+    t0 = time.monotonic()
+    rc = rich_club(edges).collect()
+    extra["rich_club"] = {
+        "sec": round(time.monotonic() - t0, 3),
+        "thresholds": len(rc),
+    }
+
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs_path):
         docs = spark.read.parquet(docs_path)
@@ -826,6 +902,23 @@ def main() -> None:
         n_sh = simhash_near_dups(docs, max_hamming=3).count()
         extra["simhash_near_dups"] = {
             "sec": round(time.monotonic() - t0, 3), "pairs": n_sh,
+        }
+
+        from duwamish_spark.functions import chunk_documents, mix_sources
+
+        t0 = time.monotonic()
+        n_chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).count()
+        extra["chunk_documents"] = {
+            "sec": round(time.monotonic() - t0, 3), "chunks": n_chunks,
+        }
+
+        t0 = time.monotonic()
+        n_mixed = mix_sources(
+            docs, "doc_id", "source",
+            {"src0": 0, "src1": 250_000}, default_ppm=600_000,
+        ).count()
+        extra["mix_sources"] = {
+            "sec": round(time.monotonic() - t0, 3), "kept": n_mixed,
         }
 
         # training-pipeline text ops added round-3 session-3 (detail-only)
