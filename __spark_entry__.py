@@ -581,6 +581,22 @@ def q_lp_round3(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3).state
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingestion dedup: docs with doc_id % 10 == 0 are the
+    'new batch', the rest the existing corpus; recall-1 banding
+    (64 x 1) makes the near relation EQUAL the exact n-gram Jaccard
+    relation, so the full exact+near+priority classification is
+    oracle-replayable (functions/dedup.py incremental_dedup)."""
+    from duwamish_spark.functions import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    return incremental_dedup(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        threshold=0.2, n_hashes=64, bands=64,
+    )
+
+
 def q_triad_census(spark, sf_dir):
     """Full 16-class directed triad census (Holland-Leinhardt MAN
     codes): >=2-dyad triads enumerated once each (unique-center /
@@ -1521,8 +1537,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotated out: r2/r3-green queries whose functions are untouched and
 # whose shared machinery stays gated by an in-window sibling
 # (pagerank_fixed10* by pagerank_converged, cc variants by cc_converged,
-# ngram_jaccard's pair relation by dedup_groups, knn/simhash/embedding
-# paths r2-green and function-level untouched).
+# ngram_jaccard's pair relation by dedup_groups; minhash_near_dups'
+# full banded pipeline runs INSIDE the in-window incremental_dedup
+# gate at the same recall-1 config; knn/simhash/embedding paths
+# r2-green and function-level untouched).
 _WINDOW = [
     "louvain_round2", "boilerplate_strip", "semdedup", "salsa_round3",
     "host_graph", "bowtie_regions", "dsir_weights", "lm_perplexity",
@@ -1537,7 +1555,7 @@ _WINDOW = [
     "rich_club", "trussness_round2", "lp_seeded_round3", "wl_round2",
     "percolation_round3", "triad_census",
     "anf_sketch_h3", "harmonic_h3", "closeness_h3", "degree_assortativity",
-    "mis_round1", "densest_round2", "minhash_near_dups",
+    "mis_round1", "densest_round2", "incremental_dedup",
     "pagerank_converged", "cc_converged", "lp_round3", "lp_round3_delta",
 ]
 
@@ -1604,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_round2": q_wl_round2,
         "percolation_round3": q_percolation_round3,
         "triad_census": q_triad_census,
+        "incremental_dedup": q_incremental_dedup,
         # -- 3. flagship set (pagerank_converged/fixed10 lead: pregel.py
         #    changed this round via the stats-reset sweep, so they need
         #    fresh rows more than the untouched out-degree/step1 gates) --
@@ -3399,6 +3418,36 @@ _DEDUP_GROUPS_SQL = (
 """
 )
 
+_INCREMENTAL_DEDUP_SQL = (
+    "WITH " + _NGRAM_PAIR_CTES + """,
+    newd AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    nh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+    ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+    ec AS (SELECT DISTINCT nh.doc_id FROM nh JOIN ch ON ch.h = nh.h),
+    eb AS (SELECT DISTINCT a.doc_id FROM nh a
+           JOIN nh b ON b.h = a.h AND b.doc_id < a.doc_id),
+    nc AS (SELECT DISTINCT doc_id FROM (
+             SELECT id_a AS doc_id FROM npairs
+             WHERE id_a % 10 = 0 AND id_b % 10 <> 0
+             UNION ALL
+             SELECT id_b FROM npairs
+             WHERE id_b % 10 = 0 AND id_a % 10 <> 0)),
+    nb AS (SELECT DISTINCT id_b AS doc_id FROM npairs
+           WHERE id_a % 10 = 0 AND id_b % 10 = 0)
+    SELECT newd.doc_id AS doc_id,
+           CASE WHEN ec.doc_id IS NOT NULL THEN 'exact_corpus'
+                WHEN eb.doc_id IS NOT NULL THEN 'exact_batch'
+                WHEN nc.doc_id IS NOT NULL THEN 'near_corpus'
+                WHEN nb.doc_id IS NOT NULL THEN 'near_batch'
+                ELSE 'kept' END AS status
+    FROM newd
+    LEFT JOIN ec ON ec.doc_id = newd.doc_id
+    LEFT JOIN eb ON eb.doc_id = newd.doc_id
+    LEFT JOIN nc ON nc.doc_id = newd.doc_id
+    LEFT JOIN nb ON nb.doc_id = newd.doc_id
+"""
+)
+
 # After supersteps 0-3 (feature -> rating -> feature -> rating) every
 # feature vertex's component 0 is clamp(1 + lr * sum(rating - 1)): the
 # first rating round sees uval = mval = 1.0 so err = lr*(rating-1), the
@@ -4012,6 +4061,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_md5_sql(7),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_near_dups": _NGRAM_JACCARD_SQL,
+        "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "dsir_weights": _DSIR_SQL,
         "lm_perplexity": _LM_PPL_SQL,

@@ -13,6 +13,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Mersenne prime 2^31-1: keeps a*x + b within int64 under ANSI arithmetic
 # (a, x < 2^31 → product < 2^62). Constants are fixed so results are
@@ -1011,3 +1012,130 @@ def duplicate_spans(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """Incremental-ingestion dedup: classify every NEW document against
+    the existing ``corpus`` AND the rest of its own batch. One row per
+    new doc: ``(doc_id, status)`` with the first matching status in
+    priority order
+
+        exact_corpus  — byte-identical (md5) to an existing corpus doc
+        exact_batch   — byte-identical to a SMALLER-id new doc
+        near_corpus   — verified n-gram Jaccard ≥ threshold with any
+                        corpus doc (LSH-banded candidates, exact verify
+                        — minhash_near_dups semantics)
+        near_batch    — near-dup of a SMALLER-id new doc (keep-first;
+                        conservative — the earlier doc's own status is
+                        NOT consulted, so a chain a~b~c keeps only a:
+                        deterministic and O(pairs), the documented
+                        trade against transitive re-admission)
+        kept          — none of the above: genuinely new content
+
+    This is the steady-state shape of a 100 TB pipeline: the corpus was
+    deduplicated LAST month; today's crawl increment must be checked
+    against it without re-pairing the corpus with itself. Scale shape:
+    the exact stage is one hash semi-join (corpus side reduced to
+    distinct md5s — one row per distinct text, broadcastable for
+    increment-sized batches); the near stage runs the engine's banded
+    minhash pipeline over the tagged union — corpus×corpus pairs are
+    produced by the banding but the classification only consumes pairs
+    touching a new doc. (A corpus-side band-table cache would avoid
+    recomputing corpus signatures; that artifact reuse is a deploy-time
+    concern — semantics here are the contract.)
+
+    Ids must be unique ACROSS both frames (the driver gate's disjoint
+    id spaces; duplicated ids would alias batch and corpus docs).
+    """
+    nd = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    cp = corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    nh = nd.withColumn("h", F.md5("text"))
+    chashes = cp.select(F.md5("text").alias("h")).distinct()
+    ec = nh.join(chashes, "h", "left_semi").select("id")
+
+    w_first = Window.partitionBy("h")
+    eb = (
+        nh.withColumn("first_id", F.min("id").over(w_first))
+        .where(F.col("id") > F.col("first_id"))
+        .select("id")
+    )
+
+    pairs = minhash_near_dups(
+        nd.unionAll(cp),
+        k=k,
+        n_hashes=n_hashes,
+        bands=bands,
+        threshold=threshold,
+        id_col="id",
+        text_col="text",
+        seed=seed,
+    )
+    new_ids = nd.select("id")
+    ptag = (
+        pairs.join(
+            new_ids.select(F.col("id").alias("id_a"), F.lit(1).alias("a_new")),
+            "id_a",
+            "left",
+        )
+        .join(
+            new_ids.select(F.col("id").alias("id_b"), F.lit(1).alias("b_new")),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a", "id_b",
+            F.coalesce("a_new", F.lit(0)).alias("a_new"),
+            F.coalesce("b_new", F.lit(0)).alias("b_new"),
+        )
+    )
+    nc = (
+        ptag.where((F.col("a_new") == 1) & (F.col("b_new") == 0))
+        .select(F.col("id_a").alias("id"))
+        .unionAll(
+            ptag.where((F.col("b_new") == 1) & (F.col("a_new") == 0)).select(
+                F.col("id_b").alias("id")
+            )
+        )
+        .distinct()
+    )
+    # id_a < id_b by the pair contract: the larger-id member is dropped
+    nb = (
+        ptag.where((F.col("a_new") == 1) & (F.col("b_new") == 1))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+
+    def flag(ids: DataFrame, name: str) -> DataFrame:
+        return ids.select("id", F.lit(1).alias(name))
+
+    out = (
+        nd.select("id")
+        .join(flag(ec, "f_ec"), "id", "left")
+        .join(flag(eb, "f_eb"), "id", "left")
+        .join(flag(nc, "f_nc"), "id", "left")
+        .join(flag(nb, "f_nb"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("f_ec") == 1, F.lit("exact_corpus"))
+            .when(F.col("f_eb") == 1, F.lit("exact_batch"))
+            .when(F.col("f_nc") == 1, F.lit("near_corpus"))
+            .when(F.col("f_nb") == 1, F.lit("near_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    return out

@@ -1031,3 +1031,118 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=-1)
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def _brute_incremental(new_rows, corpus_rows, threshold, k=3):
+    import hashlib as _hl
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 1))} - {""}
+
+    def jac(a, b):
+        A, B = sh(a), sh(b)
+        if not A or not B:
+            return 0.0
+        return len(A & B) / len(A | B)
+
+    chash = {_hl.md5(t.encode()).hexdigest() for _, t in corpus_rows}
+    out = {}
+    for i, t in new_rows:
+        h = _hl.md5(t.encode()).hexdigest()
+        if h in chash:
+            out[i] = "exact_corpus"
+        elif any(
+            _hl.md5(t2.encode()).hexdigest() == h for j, t2 in new_rows if j < i
+        ):
+            out[i] = "exact_batch"
+        elif any(jac(t, t2) >= threshold for _, t2 in corpus_rows):
+            out[i] = "near_corpus"
+        elif any(jac(t, t2) >= threshold for j, t2 in new_rows if j < i):
+            out[i] = "near_batch"
+        else:
+            out[i] = "kept"
+    return out
+
+
+_INC_CORPUS = [
+    (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (101, "spark executes queries with whole stage code generation enabled"),
+    (102, "completely unrelated corpus text about databases and storage"),
+]
+_INC_NEW = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact_corpus
+    (2, "fresh new document with novel tokens alpha beta gamma delta"),       # kept
+    (3, "fresh new document with novel tokens alpha beta gamma delta"),       # exact_batch of 2
+    (4, "spark executes queries with whole stage code generation disabled"),  # near_corpus (101)
+    (5, "brand new content entirely different words here zeta eta theta"),    # kept
+    (6, "brand new content entirely different words here zeta eta iota"),     # near_batch of 5
+    (7, "totally singular document nothing shares these rare tokens"),        # kept
+]
+
+
+def test_incremental_dedup_matches_brute(spark):
+    from duwamish_spark.functions import incremental_dedup
+
+    nd = spark.createDataFrame(_INC_NEW, "doc_id long, text string")
+    cp = spark.createDataFrame(_INC_CORPUS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(
+            nd, cp, threshold=0.5, n_hashes=64, bands=64
+        ).collect()
+    }
+    want = _brute_incremental(_INC_NEW, _INC_CORPUS, 0.5)
+    assert got == want
+    assert got[1] == "exact_corpus" and got[3] == "exact_batch"
+    assert got[4] == "near_corpus" and got[6] == "near_batch"
+    assert got[2] == "kept" and got[5] == "kept" and got[7] == "kept"
+
+
+def test_incremental_dedup_priority_and_chain(spark):
+    from duwamish_spark.functions import incremental_dedup
+
+    corpus = [(100, "shared exact text aaa bbb ccc ddd eee fff ggg")]
+    new = [
+        # exact corpus dup AND near-batch of nothing earlier: exact wins
+        (1, "shared exact text aaa bbb ccc ddd eee fff ggg"),
+        # chain: 2 kept; 3 near of 2; 4 near of 3 (and of 2) -> both dropped
+        (2, "chain doc one two three four five six seven eight nine"),
+        (3, "chain doc one two three four five six seven eight ten"),
+        (4, "chain doc one two three four five six seven nine ten"),
+    ]
+    got = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(
+            spark.createDataFrame(new, "doc_id long, text string"),
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            threshold=0.5, n_hashes=64, bands=64,
+        ).collect()
+    }
+    assert got[1] == "exact_corpus"
+    assert got[2] == "kept"
+    assert got[3] == "near_batch" and got[4] == "near_batch"
+    assert got == _brute_incremental(new, corpus, 0.5)
+
+
+def test_incremental_dedup_partition_invariant(spark):
+    from duwamish_spark.functions import incremental_dedup
+
+    nd = spark.createDataFrame(_INC_NEW, "doc_id long, text string")
+    cp = spark.createDataFrame(_INC_CORPUS, "doc_id long, text string")
+    a = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(nd, cp, threshold=0.5, n_hashes=64, bands=64).collect()
+    }
+    b = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(
+            nd.repartition(7), cp.repartition(5), threshold=0.5, n_hashes=64, bands=64
+        ).collect()
+    }
+    assert a == b
