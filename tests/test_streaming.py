@@ -304,3 +304,75 @@ def test_streaming_dedup_baseline_compaction(spark, tmp_path):
     second = drain(tmp_path / "ck_e2", tmp_path / "out_e2", baseline=first)
     got = {r["doc_id"] for r in second.collect()}
     assert "d4" in got and "d3" not in got
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    from duwamish_spark.functions.events import sessionize
+    from duwamish_spark.streaming import streaming_sessionize
+
+    d = tmp_path / "sess_events"
+    d.mkdir()
+    rows = [
+        # user u1: two sessions (gap > 10 min between :00:05 and :30:00)
+        (1, "u1", "2026-01-01 00:00:01", 1.0),
+        (2, "u1", "2026-01-01 00:00:05", 1.0),
+        (3, "u1", "2026-01-01 00:30:00", 1.0),
+        (4, "u1", "2026-01-01 00:35:00", 1.0),
+        (5, "u1", "2026-01-01 00:39:00", 1.0),
+        # user u2: one session
+        (6, "u2", "2026-01-01 00:10:00", 1.0),
+        (7, "u2", "2026-01-01 00:15:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    df.write.mode("overwrite").parquet(str(d / "e.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id string, ts timestamp, value double"
+        ).parquet(str(d / "e.parquet"))
+        .withColumnRenamed("ts", "event_time")
+    )
+    sess = streaming_sessionize(stream, gap="10 minutes")
+    run_to_table(sess, "sess_t", str(tmp_path / "ck_sess"), output_mode="complete")
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+    }
+
+    batch = sessionize(df, gap_minutes=10)
+    want = {
+        (
+            r["user_id"],
+            str(__import__("datetime").datetime.utcfromtimestamp(
+                r["start_us"] / 1_000_000
+            ).strftime("%Y-%m-%d %H:%M:%S")),
+            r["n_events"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 3  # u1 x2 sessions, u2 x1
+
+
+def test_streaming_sessionize_window_end_is_last_plus_gap(spark, tmp_path):
+    from duwamish_spark.streaming import streaming_sessionize
+
+    d = tmp_path / "sess_events2"
+    d.mkdir()
+    df = spark.createDataFrame(
+        [(1, "u", "2026-01-01 00:00:00")], "event_id long, user_id string, ts string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS event_time")
+    df.write.mode("overwrite").parquet(str(d / "e.parquet"))
+    stream = spark.readStream.schema(
+        "event_id long, user_id string, event_time timestamp"
+    ).parquet(str(d / "e.parquet"))
+    sess = streaming_sessionize(stream, gap="5 minutes")
+    run_to_table(sess, "sess_t2", str(tmp_path / "ck_sess2"), output_mode="complete")
+    r = spark.sql("SELECT * FROM sess_t2").collect()[0]
+    assert str(r["session_start"]) == "2026-01-01 00:00:00"
+    assert str(r["session_end"]) == "2026-01-01 00:05:00"
+    assert r["n_events"] == 1
