@@ -45,6 +45,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duwamish_spark.graph import require_columns
+from duwamish_spark.pregel import (
+    free_local_checkpoint,
+    local_checkpoint_stats_reset,
+)
 
 # sorted (in*3+out) code-multiset -> MAN-variant name; exhaustively
 # validated (tests/test_triads.py regenerates this table from first
@@ -98,7 +102,10 @@ def triad_census(
 ) -> DataFrame:
     require_columns(vertices, ("id",), "vertices")
     require_columns(edges, ("src", "dst"), "edges")
-    dy = _dyads(edges)
+    # the dyad relation feeds FOUR consumers (scalar census, both sym
+    # halves, the closing-pair probe) — checkpoint it once instead of
+    # re-scanning + re-shuffling the edge table per consumer
+    dy = _dyads(edges).transform(local_checkpoint_stats_reset)
 
     # scalar dyad census (one row): M mutual, A asym, n vertices
     scal = (
@@ -222,7 +229,12 @@ def triad_census(
     names = spark.createDataFrame(
         [(t,) for t in TRIAD_NAMES], "triad string"
     )
-    return names.join(counted.unionAll(rest), "triad", "left").select(
+    out = names.join(counted.unionAll(rest), "triad", "left").select(
         "triad",
         F.coalesce("count", F.lit(0).cast("decimal(38,0)")).alias("count"),
     )
+    # the census IS a 16-row scalar summary (triangle_count discipline):
+    # materialize it so the dyad checkpoint can be freed before return
+    rows = out.collect()
+    free_local_checkpoint(dy)
+    return spark.createDataFrame(rows, "triad string, count decimal(38,0)")
