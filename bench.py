@@ -226,8 +226,58 @@ def bench_sf1(spark, cpus: int) -> dict:
             .count()
         ),
     }
+    # round-4 session-7: the new operators at SF=1 — WL roles and seeded
+    # LP are E-bounded per round on the main graph; trussness/census run
+    # on a d15 graph of the same 1M vertices (wedge-bounded workloads,
+    # the same split as the sf0.1 block), trussness at a fixed 5-round
+    # upper bound (the coreness-gate fixed-round semantics) to keep the
+    # block's wall bounded.
+    from duwamish_spark.algorithms import (
+        seeded_label_propagation,
+        triad_census,
+        trussness,
+        wl_signatures,
+    )
+    from duwamish_spark.pregel import free_local_checkpoint as _flc
+
+    t0 = time.monotonic()
+    wl = wl_signatures(spark, verts, edges_e, rounds=2)
+    q["wl_roles_r2"] = round(time.monotonic() - t0, 3)
+    d["wl_roles_r2_colors"] = wl.metrics[-1]["colors"] if wl.metrics else None
+    _flc(wl.state)
+
+    t0 = time.monotonic()
+    slp = seeded_label_propagation(
+        spark, verts, edges_e,
+        verts.where(F.col("id") % 1000 == 0).select(
+            "id", (F.col("id") % 11).alias("label")
+        ),
+        max_supersteps=3, num_partitions=cpus,
+    )
+    q["seeded_lp_3"] = round(time.monotonic() - t0, 3)
+    d["seeded_lp_3_labeled"] = slp.last.get("labeled")
+    _flc(slp.state)
+
     verts.unpersist()
     edges_e.unpersist()
+
+    spath15, _ = edges_parquet(spark, 1_000_000, 15)
+    sedges1 = spark.read.parquet(spath15)
+    t0 = time.monotonic()
+    tn = trussness(spark, sedges1, max_rounds=5)
+    tn.state.count()
+    q["trussness_d15_r5"] = round(time.monotonic() - t0, 3)
+    d["trussness_d15"] = {"rounds": tn.supersteps, "halted": tn.halted}
+    _flc(tn.state)
+
+    t0 = time.monotonic()
+    v15 = vertices_from(None, sedges1)
+    tc = {
+        r["triad"]: int(r["count"])
+        for r in triad_census(spark, v15, sedges1).collect()
+    }
+    q["triad_census_d15"] = round(time.monotonic() - t0, 3)
+    d["triad_census_d15"] = {"030T": tc.get("030T", 0), "030C": tc.get("030C", 0)}
 
     corpus_path = os.path.join(CACHE, "corpus_n1000000_d127_s42.parquet")
     if os.path.exists(corpus_path):
