@@ -781,6 +781,18 @@ def q_square_count(spark, sf_dir):
     return square_count(e)
 
 
+def q_lp_conductance_round3(spark, sf_dir):
+    """Per-community conductance of the LP round-3 labeling — the
+    boundary-quality score next to modularity's global one; integer
+    counts, single final division (algorithms/structure.py
+    conductance)."""
+    from duwamish_spark.algorithms import conductance, label_propagation
+
+    v, e = _graph(spark, sf_dir)
+    labels = label_propagation(spark, v, e, max_supersteps=3).state
+    return conductance(e, labels)
+
+
 def q_lp_modularity_round3(spark, sf_dir):
     """Newman modularity of the LP round-3 labeling — the community
     algorithm's standard quality gate; integer aggregation with a single
@@ -1668,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_top5": q_link_pred_top5,
         "ktruss_round2": q_ktruss_round2,
         "lp_modularity_round3": q_lp_modularity_round3,
+        "lp_conductance_round3": q_lp_conductance_round3,
         "square_count": q_square_count,
         "topo_depth_round3": q_topo_depth_round3,
         "cocitation_top3": q_cocitation_top3,
@@ -2583,6 +2596,38 @@ def _ktruss_fixed_sql(k: int, rounds: int) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT src, dst, support FROM t{rounds}"
+    )
+
+
+def _conductance_lp_sql(steps: int) -> str:
+    """Replay of structure.conductance over the LP fixed-round labels:
+    cut = per-side explode of cross-label canonical edges, volume from
+    labels LEFT JOIN simple degree (edgeless vertices count with 0),
+    denom = least(vol, 2m - vol)."""
+    ctes = _lp_chain_ctes(steps) + [
+        _CANON_CTE,
+        _SADJ_CTE,
+        _SDEG_CTE,
+        f"tg AS (SELECT a.label AS ls, b.label AS ld FROM c "
+        f"JOIN l{steps} a ON a.id = c.src JOIN l{steps} b ON b.id = c.dst)",
+        "cutx AS (SELECT label, count(*) AS cut FROM ("
+        "SELECT ls AS label FROM tg WHERE ls <> ld "
+        "UNION ALL SELECT ld FROM tg WHERE ls <> ld) GROUP BY label)",
+        f"volx AS (SELECT l.label, count(*)::BIGINT AS n_vertices, "
+        f"coalesce(sum(sdeg.degree), 0)::BIGINT AS volume "
+        f"FROM l{steps} l LEFT JOIN sdeg ON sdeg.id = l.id GROUP BY l.label)",
+        "tot AS (SELECT 2 * count(*)::BIGINT AS vol_total FROM c)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT volx.label AS label, n_vertices, volume,
+           coalesce(cutx.cut, 0)::BIGINT AS cut,
+           CASE WHEN least(volume, vol_total - volume) > 0
+                THEN round(coalesce(cutx.cut, 0) * 1.0
+                           / least(volume, vol_total - volume), 6)
+           END AS conductance
+    FROM volx LEFT JOIN cutx ON cutx.label = volx.label CROSS JOIN tot"""
     )
 
 
@@ -3865,6 +3910,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pred_top5": _link_pred_sql(5, 2, 1_000_000),
         "ktruss_round2": _ktruss_fixed_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "lp_modularity_round3": _modularity_lp_sql(3),
+        "lp_conductance_round3": _conductance_lp_sql(3),
         "square_count": f"""
             WITH {_EDGE_CTE}, {_CANON_CTE}, {_SADJ_CTE},
             wg AS (SELECT x.w2 AS a, y.w2 AS b

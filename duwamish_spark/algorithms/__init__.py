@@ -50,6 +50,7 @@ from duwamish_spark.algorithms.layering import topological_depth
 from duwamish_spark.algorithms.structure import (
     clustering_coefficient,
     cocitation,
+    conductance,
     degree_assortativity,
     k_truss,
     link_prediction,
@@ -65,6 +66,7 @@ __all__ = [
     "reachable_set",
     "clustering_coefficient",
     "cocitation",
+    "conductance",
     "coreness",
     "trussness",
     "wl_signatures",

@@ -589,3 +589,65 @@ def rich_club(edges: DataFrame) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the undirected simple graph: one
+    row per label value,
+
+        (label, n_vertices, volume, cut, conductance)
+
+    with ``volume`` = Σ degree over the community, ``cut`` = edges with
+    exactly one endpoint inside, and conductance = cut / min(volume,
+    2m − volume) — the standard cluster-quality score alongside
+    :func:`modularity` (modularity grades the PARTITION globally;
+    conductance grades each community's boundary individually, which is
+    what you read before trusting one community for downstream use).
+    NULL when the min side is 0 (empty or whole-graph communities).
+
+    Plan: two E-bounded label joins, one per-side explode of the
+    cross-label edges (≤ 2 rows per cut edge), three linear groupBys —
+    all integer counts until the single final division (round 6,
+    SQL-replayable). Vertices missing from ``labels`` are excluded from
+    every aggregate (their edges still count toward a community's cut
+    only if the OTHER endpoint is labeled — document your label
+    coverage before reading absolute numbers).
+    """
+    require_columns(labels, ("id", "label"), "labels")
+    c = canonical_edges(edges)
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("_ls"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_ld"))
+    tagged = c.join(la, "src").join(lb, "dst")
+    cut = (
+        tagged.where(F.col("_ls") != F.col("_ld"))
+        .select(F.explode(F.array("_ls", "_ld")).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    vol = (
+        labels.select("id", "label")
+        .join(_simple_degrees(edges), "id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.coalesce(F.sum("degree"), F.lit(0)).cast("long").alias("volume"),
+        )
+    )
+    total = c.agg((2 * F.count(F.lit(1))).alias("vol_total"))
+    denom = F.least(F.col("volume"), F.col("vol_total") - F.col("volume"))
+    return (
+        vol.join(cut, "label", "left")
+        .crossJoin(total)
+        .select(
+            "label",
+            "n_vertices",
+            "volume",
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            F.when(
+                denom > 0,
+                F.round(
+                    F.coalesce("cut", F.lit(0)).cast("double") / denom, 6
+                ),
+            ).alias("conductance"),
+        )
+    )

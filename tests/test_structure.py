@@ -682,3 +682,75 @@ def test_trussness_triangle_free(spark):
     free_local_checkpoint(res.state)
     assert res.halted
     assert got == {(1, 2): 2, (2, 3): 2, (3, 4): 2}
+
+
+# ---------------------------------------------------------------------------
+# conductance (per-community boundary quality)
+# ---------------------------------------------------------------------------
+
+
+def _brute_conductance(edges, labels):
+    simple = _simple(edges)
+    deg = {v: len(ns) for v, ns in _nbrs(simple).items()}
+    m2 = 2 * len(simple)
+    out = {}
+    for lab in set(labels.values()):
+        mem = {v for v, l2 in labels.items() if l2 == lab}
+        vol = sum(deg.get(v, 0) for v in mem)
+        cut = sum(
+            1 for a, b in simple
+            if a in labels and b in labels and ((a in mem) != (b in mem))
+        )
+        n = len(mem)
+        denom = min(vol, m2 - vol)
+        phi = round(cut / denom, 6) if denom > 0 else None
+        out[lab] = (n, vol, cut, phi)
+    return out
+
+
+def test_conductance_matches_brute(spark):
+    from duwamish_spark.algorithms import conductance
+
+    # 99 is labeled but has no edges at all: counted with degree 0
+    labels = {1: "a", 2: "a", 3: "a", 4: "b", 5: "b", 6: "b", 7: "b", 8: "a",
+              99: "b"}
+    lab_df = spark.createDataFrame(list(labels.items()), "id long, label string")
+    rows = conductance(_edges_df(spark), lab_df).collect()
+    got = {
+        r["label"]: (r["n_vertices"], r["volume"], r["cut"], r["conductance"])
+        for r in rows
+    }
+    assert got == _brute_conductance(EDGES, labels)
+
+
+def test_conductance_random_matches_brute(spark):
+    from duwamish_spark.algorithms import conductance
+
+    for seed, n, m, k in [(6, 25, 90, 3), (14, 40, 150, 5)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        labels = {v: f"c{rng.randrange(k)}" for v in range(n)}
+        lab_df = spark.createDataFrame(
+            list(labels.items()), "id long, label string"
+        )
+        rows = conductance(_edges_df(spark, edges), lab_df).collect()
+        got = {
+            r["label"]: (r["n_vertices"], r["volume"], r["cut"], r["conductance"])
+            for r in rows
+        }
+        # brute only over labels that own >= 1 vertex present in graph or not;
+        # engine emits every label present in `labels` joined to degrees:
+        # vertices with no simple edges have degree 0 but still count
+        want = _brute_conductance(edges, labels)
+        assert got == want, seed
+
+
+def test_conductance_whole_graph_community_is_null(spark):
+    from duwamish_spark.algorithms import conductance
+
+    lab_df = spark.createDataFrame(
+        [(i, "all") for i in range(1, 9)], "id long, label string"
+    )
+    rows = conductance(_edges_df(spark), lab_df).collect()
+    assert len(rows) == 1
+    assert rows[0]["cut"] == 0 and rows[0]["conductance"] is None
