@@ -581,6 +581,21 @@ def q_lp_round3(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3).state
 
 
+def q_simrank_l3(spark, sf_dir):
+    """Seeded SimRank by deterministic coupled reverse-walk
+    fingerprints (Fogaras-Racz): seeds id % 200 == 0, 4 repetitions,
+    3 steps, decay 0.8 in exact integer micros — every trajectory and
+    score replayed bit-for-bit by a chained CTE
+    (algorithms/simrank.py)."""
+    from duwamish_spark.algorithms import simrank_seeded
+
+    v, e = _graph(spark, sf_dir)
+    return simrank_seeded(
+        spark, e, v.where(F.col("id") % 200 == 0),
+        n_walks=4, walk_length=3, decay=0.8,
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental-ingestion dedup: docs with doc_id % 10 == 0 are the
     'new batch', the rest the existing corpus; recall-1 banding
@@ -1549,7 +1564,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotated out: r2/r3-green queries whose functions are untouched and
 # whose shared machinery stays gated by an in-window sibling
 # (pagerank_fixed10* by pagerank_converged, cc variants by cc_converged,
-# ngram_jaccard's pair relation by dedup_groups; minhash_near_dups'
+# ngram_jaccard's pair relation by dedup_groups; katz_round3 by its
+# machinery sibling eigenvector_round3 (Katz's attenuated-series
+# delta is NumPy-closed-form pytest-gated); minhash_near_dups'
 # full banded pipeline runs INSIDE the in-window incremental_dedup
 # gate at the same recall-1 config; knn/simhash/embedding paths
 # r2-green and function-level untouched).
@@ -1560,7 +1577,7 @@ _WINDOW = [
     "curation_pipeline", "dedup_groups", "source_cap",
     "pagerank_dangling_fixed5", "cc_warmstart", "repetition_stats",
     "paragraph_dedup", "pii_scrub", "pack_sequences", "spam_mass_fixed10",
-    "effective_diameter_h3", "eigenvector_round3", "katz_round3",
+    "effective_diameter_h3", "eigenvector_round3", "simrank_l3",
     "matching_round1", "coloring_round3",
     "tfidf_top3", "doc_split", "stratified_sample", "mix_sources",
     "chunk_docs", "contamination",
@@ -1635,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_round3": q_percolation_round3,
         "triad_census": q_triad_census,
         "incremental_dedup": q_incremental_dedup,
+        "simrank_l3": q_simrank_l3,
         # -- 3. flagship set (pagerank_converged/fixed10 lead: pregel.py
         #    changed this round via the stats-reset sweep, so they need
         #    fresh rows more than the untouched out-degree/step1 gates) --
@@ -1808,6 +1826,62 @@ def _triad_census_sql() -> str:
         SELECT namelist.triad AS triad, coalesce(allc.cn, 0)::BIGINT AS count
         FROM namelist LEFT JOIN allc ON allc.triad = namelist.triad
     """
+
+
+def _simrank_chain_sql(n_walks: int, walk_length: int, decay: float) -> str:
+    """Replay of simrank_seeded: coupled reverse-walk ladder (position-
+    keyed md5 step choice over the ascending in-neighbor list), first
+    meeting time per (seed, vertex, rep), exact integer-micros decay
+    table, one final division."""
+    from duwamish_spark.algorithms.simrank import decay_micros_table
+
+    micros = decay_micros_table(decay, walk_length)
+    reps = ", ".join(f"({r})" for r in range(n_walks))
+    ctes = [
+        _EDGE_CTE,
+        "de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        "rin AS (SELECT dst AS v, src AS nb, row_number() OVER "
+        "(PARTITION BY dst ORDER BY src) - 1 AS idx FROM de)",
+        "ind AS (SELECT v, count(*) AS cnt FROM rin GROUP BY v)",
+        "vv AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM de UNION ALL SELECT dst FROM de))",
+        f"reps(r) AS (VALUES {reps})",
+        "p0 AS (SELECT id, r, id AS pos, 0 AS t FROM vv CROSS JOIN reps)",
+    ]
+    for t in range(1, walk_length + 1):
+        h = (
+            "('0x' || substring(md5('sr:' || p.r::VARCHAR || "
+            f"':{t-1}:' || p.pos::VARCHAR), 1, 8))::UINTEGER::BIGINT"
+        )
+        ctes.append(
+            f"p{t} AS (SELECT p.id, p.r, rin.nb AS pos, {t} AS t "
+            f"FROM p{t-1} p JOIN ind ON ind.v = p.pos "
+            f"JOIN rin ON rin.v = p.pos AND rin.idx = ({h} % ind.cnt))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM p{t}" for t in range(walk_length + 1)
+    )
+    ctes.append(f"ap AS ({union})")
+    ctes.append(
+        "sp AS (SELECT id AS seed, r, t, pos FROM ap WHERE id % 200 = 0)"
+    )
+    ctes.append(
+        "meet AS (SELECT sp.seed, ap.id, ap.r, min(ap.t) AS mt FROM ap "
+        "JOIN sp ON sp.r = ap.r AND sp.t = ap.t AND sp.pos = ap.pos "
+        "GROUP BY sp.seed, ap.id, ap.r)"
+    )
+    mcase = "CASE mt " + " ".join(
+        f"WHEN {t} THEN {m}" for t, m in enumerate(micros)
+    ) + " END"
+    ctes.append(f"mu AS (SELECT seed, id, {mcase} AS m FROM meet)")
+    denom = n_walks * 1_000_000
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT seed, id, count(*)::BIGINT AS met_reps,
+           round(sum(m) * 1.0 / {denom}, 6) AS simrank
+    FROM mu GROUP BY seed, id"""
+    )
 
 
 def _percolation_chain_sql(rounds: int, p_ppm: int) -> str:
@@ -4108,6 +4182,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_near_dups": _NGRAM_JACCARD_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "simrank_l3": _simrank_chain_sql(4, 3, 0.8),
         "host_graph": _HOST_GRAPH_SQL,
         "dsir_weights": _DSIR_SQL,
         "lm_perplexity": _LM_PPL_SQL,

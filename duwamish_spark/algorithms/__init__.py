@@ -45,6 +45,7 @@ from duwamish_spark.algorithms.coreness import coreness
 from duwamish_spark.algorithms.trussness import trussness
 from duwamish_spark.algorithms.wl import wl_signatures
 from duwamish_spark.algorithms.gsample import percolation_edges, percolation_sample
+from duwamish_spark.algorithms.simrank import simrank_seeded
 from duwamish_spark.algorithms.triads import triad_census
 from duwamish_spark.algorithms.layering import topological_depth
 from duwamish_spark.algorithms.structure import (
@@ -72,6 +73,7 @@ __all__ = [
     "wl_signatures",
     "percolation_edges",
     "percolation_sample",
+    "simrank_seeded",
     "triad_census",
     "degree_assortativity",
     "reciprocity",
