@@ -581,6 +581,20 @@ def q_lp_round3(spark, sf_dir):
     return label_propagation(spark, v, e, max_supersteps=3).state
 
 
+def q_ppr_sweep_fixed5(spark, sf_dir):
+    """Andersen-Chung-Lang local clustering: personalized PageRank
+    (seeds id % 10 == 0, 5 fixed supersteps) followed by the
+    min-conductance sweep over the top-40 scores — prefix volumes/cuts
+    by two running sums, scores rounded before ordering so the ranking
+    is bit-stable (algorithms/localcluster.py ppr_sweep_cut)."""
+    from duwamish_spark.algorithms import pagerank, ppr_sweep_cut
+
+    v, e = _graph(spark, sf_dir)
+    tp = v.where(F.col("id") % 10 == 0).select("id", F.lit(1.0).alias("weight"))
+    res = pagerank(spark, v, e, tol=0.0, max_supersteps=5, teleport=tp)
+    return ppr_sweep_cut(spark, e, res.state, top_n=40)
+
+
 def q_simrank_l3(spark, sf_dir):
     """Seeded SimRank by deterministic coupled reverse-walk
     fingerprints (Fogaras-Racz): seeds id % 200 == 0, 4 repetitions,
@@ -1566,7 +1580,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (pagerank_fixed10* by pagerank_converged, cc variants by cc_converged,
 # ngram_jaccard's pair relation by dedup_groups; katz_round3 by its
 # machinery sibling eigenvector_round3 (Katz's attenuated-series
-# delta is NumPy-closed-form pytest-gated); minhash_near_dups'
+# delta is NumPy-closed-form pytest-gated); closeness_h3 by its
+# sketch-chain siblings anf_sketch_h3/harmonic_h3 (its 0.0-sink
+# guard carries its own brute-BFS pytest gate); minhash_near_dups'
 # full banded pipeline runs INSIDE the in-window incremental_dedup
 # gate at the same recall-1 config; knn/simhash/embedding paths
 # r2-green and function-level untouched).
@@ -1583,7 +1599,7 @@ _WINDOW = [
     "chunk_docs", "contamination",
     "rich_club", "trussness_round2", "lp_seeded_round3", "wl_round2",
     "percolation_round3", "triad_census",
-    "anf_sketch_h3", "harmonic_h3", "closeness_h3", "degree_assortativity",
+    "anf_sketch_h3", "harmonic_h3", "ppr_sweep_fixed5", "degree_assortativity",
     "mis_round1", "densest_round2", "incremental_dedup",
     "pagerank_converged", "cc_converged", "lp_round3", "lp_round3_delta",
 ]
@@ -1653,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": q_triad_census,
         "incremental_dedup": q_incremental_dedup,
         "simrank_l3": q_simrank_l3,
+        "ppr_sweep_fixed5": q_ppr_sweep_fixed5,
         # -- 3. flagship set (pagerank_converged/fixed10 lead: pregel.py
         #    changed this round via the stats-reset sweep, so they need
         #    fresh rows more than the untouched out-degree/step1 gates) --
@@ -1826,6 +1843,61 @@ def _triad_census_sql() -> str:
         SELECT namelist.triad AS triad, coalesce(allc.cn, 0)::BIGINT AS count
         FROM namelist LEFT JOIN allc ON allc.triad = namelist.triad
     """
+
+
+def _ppr_sweep_sql(steps: int, top_n: int) -> str:
+    """PPR chain (the ppr_seeded oracle's arithmetic) + the sweep:
+    rank top_n rounded scores, e_before via the candidate-restricted
+    adjacency, two running sums, prefix conductance."""
+    ctes = [
+        _EDGE_CTE,
+        _VERT_CTE,
+        _DEG_CTE,
+        "p AS (SELECT id, CASE WHEN id % 10 = 0 THEN "
+        "(1.0 * (SELECT count(*) FROM v)) / (SELECT count(*) FROM v WHERE id % 10 = 0) "
+        "ELSE 0.0 END AS p FROM v)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"r{i} AS (SELECT v.id AS id, 0.15 * p.p + 0.85 * coalesce(s.s, 0) AS rank "
+            f"FROM v JOIN p ON p.id = v.id "
+            f"LEFT JOIN (SELECT e.dst AS id, sum(r.rank / deg.d) AS s FROM e "
+            f"JOIN deg ON deg.id = e.src JOIN r{i-1} r ON r.id = e.src GROUP BY e.dst) s "
+            f"ON s.id = v.id)"
+        )
+    ctes += [
+        f"sc AS (SELECT id, round(rank, 6) AS score FROM r{steps})",
+        f"cand AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT {top_n})",
+        "rk AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id) AS rank "
+        "FROM cand)",
+        _CANON_CTE,
+        _SADJ_CTE,
+        _SDEG_CTE,
+        "eb AS (SELECT a.id AS id, count(*) AS e_before FROM sadj "
+        "JOIN rk a ON a.id = sadj.u JOIN rk b ON b.id = sadj.w2 "
+        "WHERE b.rank < a.rank GROUP BY a.id)",
+        "tot AS (SELECT 2 * count(*)::BIGINT AS vol_total FROM c)",
+        "base AS (SELECT rk.rank, rk.id, rk.score, "
+        "coalesce(sdeg.degree, 0)::BIGINT AS degree, "
+        "coalesce(eb.e_before, 0)::BIGINT AS ebv "
+        "FROM rk LEFT JOIN sdeg ON sdeg.id = rk.id "
+        "LEFT JOIN eb ON eb.id = rk.id)",
+        "prof AS (SELECT rank, id, score, degree, "
+        "sum(degree) OVER w::BIGINT AS volume, "
+        "(sum(degree) OVER w - 2 * sum(ebv) OVER w)::BIGINT AS cut "
+        "FROM base WINDOW w AS (ORDER BY rank ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW))",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT rank, id, score, degree, volume, cut,
+           CASE WHEN least(volume, vol_total - volume) > 0
+                THEN round(cut * 1.0 / least(volume, vol_total - volume), 6)
+           END AS conductance
+    FROM prof CROSS JOIN tot"""
+    )
 
 
 def _simrank_chain_sql(n_walks: int, walk_length: int, decay: float) -> str:
@@ -4183,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _NGRAM_JACCARD_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "simrank_l3": _simrank_chain_sql(4, 3, 0.8),
+        "ppr_sweep_fixed5": _ppr_sweep_sql(5, 40),
         "host_graph": _HOST_GRAPH_SQL,
         "dsir_weights": _DSIR_SQL,
         "lm_perplexity": _LM_PPL_SQL,

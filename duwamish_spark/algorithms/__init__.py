@@ -46,6 +46,7 @@ from duwamish_spark.algorithms.trussness import trussness
 from duwamish_spark.algorithms.wl import wl_signatures
 from duwamish_spark.algorithms.gsample import percolation_edges, percolation_sample
 from duwamish_spark.algorithms.simrank import simrank_seeded
+from duwamish_spark.algorithms.localcluster import ppr_sweep_cut
 from duwamish_spark.algorithms.triads import triad_census
 from duwamish_spark.algorithms.layering import topological_depth
 from duwamish_spark.algorithms.structure import (
@@ -74,6 +75,7 @@ __all__ = [
     "percolation_edges",
     "percolation_sample",
     "simrank_seeded",
+    "ppr_sweep_cut",
     "triad_census",
     "degree_assortativity",
     "reciprocity",

@@ -754,3 +754,82 @@ def test_conductance_whole_graph_community_is_null(spark):
     rows = conductance(_edges_df(spark), lab_df).collect()
     assert len(rows) == 1
     assert rows[0]["cut"] == 0 and rows[0]["conductance"] is None
+
+
+# ---------------------------------------------------------------------------
+# PPR sweep cut (local clustering)
+# ---------------------------------------------------------------------------
+
+
+def _brute_sweep(edges, scores, top_n):
+    simple = _simple(edges)
+    nb = _nbrs(simple)
+    deg = {v: len(ns) for v, ns in nb.items()}
+    m2 = 2 * len(simple)
+    cand = sorted(scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:top_n]
+    out = []
+    pref = []
+    for rank, (v, s) in enumerate(cand, start=1):
+        pref.append(v)
+        pset = set(pref)
+        vol = sum(deg.get(u, 0) for u in pref)
+        cut = sum(1 for a, b in simple if (a in pset) != (b in pset))
+        denom = min(vol, m2 - vol)
+        phi = round(cut / denom, 6) if denom > 0 else None
+        out.append((rank, v, round(s, 6), deg.get(v, 0), vol, cut, phi))
+    return out
+
+
+def test_ppr_sweep_matches_brute(spark):
+    from duwamish_spark.algorithms import ppr_sweep_cut
+
+    rng = random.Random(8)
+    n, m = 30, 110
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    scores = {v: rng.random() for v in range(n)}
+    sdf = spark.createDataFrame(list(scores.items()), "id long, rank double")
+    rows = sorted(
+        ppr_sweep_cut(spark, _edges_df(spark, edges), sdf, top_n=12).collect(),
+        key=lambda r: r["rank"],
+    )
+    got = [
+        (r["rank"], r["id"], r["score"], r["degree"], r["volume"], r["cut"],
+         r["conductance"])
+        for r in rows
+    ]
+    assert got == _brute_sweep(edges, scores, 12)
+
+
+def test_ppr_sweep_finds_planted_cluster(spark):
+    from duwamish_spark.algorithms import pagerank, ppr_sweep_cut
+    from pyspark.sql import functions as F
+
+    # two dense 6-cliques joined by a single bridge edge: a PPR sweep
+    # seeded inside clique A must bottom out exactly at |A| = 6
+    a = list(range(6))
+    b = list(range(10, 16))
+    edges = [(x, y) for x in a for y in a if x < y]
+    edges += [(x, y) for x in b for y in b if x < y]
+    edges += [(0, 10)]
+    e = _edges_df(spark, edges)
+    v = e.selectExpr("src AS id").union(e.selectExpr("dst AS id")).distinct()
+    tp = spark.createDataFrame([(0, 1.0)], "id long, weight double")
+    pr = pagerank(spark, v, e, tol=0.0, max_supersteps=8, teleport=tp)
+    prof = sorted(
+        ppr_sweep_cut(spark, e, pr.state, top_n=12).collect(),
+        key=lambda r: r["rank"],
+    )
+    best = min(
+        (r for r in prof if r["conductance"] is not None),
+        key=lambda r: (r["conductance"], r["rank"]),
+    )
+    assert best["rank"] == 6
+    assert {r["id"] for r in prof[:6]} == set(a)
+
+
+def test_ppr_sweep_rejects_bad_top_n(spark):
+    from duwamish_spark.algorithms import ppr_sweep_cut
+
+    sdf = spark.createDataFrame([(1, 1.0)], "id long, rank double")
+    with pytest.raises(ValueError):
+        ppr_sweep_cut(spark, _edges_df(spark), sdf, top_n=0)
