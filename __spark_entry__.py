@@ -685,6 +685,17 @@ def q_lp_seeded_round3(spark, sf_dir):
     return seeded_label_propagation(spark, v, e, seeds, max_supersteps=3).state
 
 
+def q_lp_weighted_round3(spark, sf_dir):
+    """Strength-weighted label propagation, fixed 3 rounds: votes carry
+    parallel-arc multiplicity (both directions — the louvain weight
+    law), argmax by summed BIGINT weight with smallest-label ties
+    (algorithms/labelprop.py label_propagation_weighted)."""
+    from duwamish_spark.algorithms import label_propagation_weighted
+
+    v, e = _graph(spark, sf_dir)
+    return label_propagation_weighted(spark, v, e, max_supersteps=3).state
+
+
 def q_louvain_round2(spark, sf_dir):
     """Two deterministic Louvain move rounds (direction-alternating,
     exact DECIMAL(38,0) gains, smallest-community tie-break) — the
@@ -1664,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_round3": q_lp_round3,
         "lp_round3_delta": q_lp_round3_delta,
         "lp_seeded_round3": q_lp_seeded_round3,
+        "lp_weighted_round3": q_lp_weighted_round3,
         "wl_round2": q_wl_round2,
         "percolation_round3": q_percolation_round3,
         "triad_census": q_triad_census,
@@ -2015,6 +2027,37 @@ def _wl_chain_sql(rounds: int) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, wl_sig FROM s{rounds}"
+    )
+
+
+def _lp_weighted_chain_sql(steps: int) -> str:
+    """Replay of label_propagation_weighted fixed rounds: und weights =
+    arc multiplicity over unordered pairs (both directions), votes =
+    summed weight, argmax by (wsum DESC, label ASC)."""
+    ctes = [
+        _EDGE_CTE,
+        _VERT_CTE,
+        ("undw AS (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi, "
+         "count(*)::BIGINT AS w FROM e WHERE src <> dst GROUP BY 1, 2)"),
+        ("symw AS (SELECT lo AS u, hi AS v, w FROM undw "
+         "UNION ALL SELECT hi, lo, w FROM undw)"),
+        "wl0 AS (SELECT id, id AS label FROM v)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"wc{i} AS (SELECT symw.v AS id, l.label AS m, sum(symw.w) AS c "
+            f"FROM symw JOIN wl{i-1} l ON l.id = symw.u GROUP BY symw.v, l.label)"
+        )
+        ctes.append(
+            f"wp{i} AS (SELECT id, m, row_number() OVER (PARTITION BY id "
+            f"ORDER BY c DESC, m ASC) AS rn FROM wc{i})"
+        )
+        ctes.append(
+            f"wl{i} AS (SELECT v.id AS id, coalesce(p.m, v.id) AS label FROM v "
+            f"LEFT JOIN (SELECT id, m FROM wp{i} WHERE rn = 1) p ON p.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM wl{steps}"
     )
 
 
@@ -4032,6 +4075,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_round2": _louvain_chain_sql(2),
         "lp_round3_delta": _lp_chain_sql(3),
         "lp_seeded_round3": _lp_seeded_chain_sql(3),
+        "lp_weighted_round3": _lp_weighted_chain_sql(3),
         "wl_round2": _wl_chain_sql(2),
         "percolation_round3": _percolation_chain_sql(3, 400_000),
         "triad_census": _triad_census_sql(),

@@ -6,6 +6,7 @@ from duwamish_spark.algorithms.components import (
 )
 from duwamish_spark.algorithms.labelprop import (
     label_propagation,
+    label_propagation_weighted,
     seeded_label_propagation,
 )
 from duwamish_spark.algorithms.louvain import louvain
@@ -115,6 +116,7 @@ __all__ = [
     "connected_components_alternating",
     "label_propagation",
     "seeded_label_propagation",
+    "label_propagation_weighted",
     "louvain",
     "triangle_count",
     "triangle_count_per_vertex",

@@ -433,3 +433,97 @@ def seeded_label_propagation(
         return runner.run(init, resume=resume)
     finally:
         edges_sym.unpersist()
+
+
+def _lp_weighted_step(state: DataFrame, symw: DataFrame) -> DataFrame:
+    msgs = state.hint("shuffle_hash").join(
+        symw, state["id"] == symw["u"]
+    ).select(symw["v"].alias("dst"), F.col("label").alias("m"), "w")
+    counts = combine_messages(msgs, [("wsum", "w", "sum")], key=["dst", "m"])
+    mode = counts.groupBy("dst").agg(
+        F.min_by(
+            "m", F.struct((-F.col("wsum")).alias("nw"), F.col("m"))
+        ).alias("mlabel"),
+        F.count(F.lit(1)).alias("mcnt"),
+    ).withColumnRenamed("dst", "id")
+    return state.join(mode.hint("shuffle_hash"), "id", "left").select(
+        "id",
+        F.coalesce("mlabel", "label").alias("label"),
+        F.when(F.coalesce("mlabel", "label") != F.col("label"), 1)
+        .otherwise(0)
+        .alias("_changed"),
+        F.coalesce("mcnt", F.lit(0)).alias("_msgs"),
+    )
+
+
+def label_propagation_weighted(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    weight_col: str | None = None,
+    max_supersteps: int = 10,
+    checkpoint_dir: str | None = None,
+    run_id: str = "lp_weighted",
+    reliable_interval: int = 5,
+    num_partitions: int | None = None,
+    halt_interval: int = 1,
+    resume: bool = False,
+) -> PregelResult:
+    """Strength-weighted label propagation: each neighbor's vote counts
+    its EDGE WEIGHT — parallel-arc multiplicity by default (the louvain
+    weight law: an import appearing in ten files is ten votes), or any
+    INTEGER ``weight_col`` summed over all arcs between the endpoints
+    in either direction. Mode = argmax of summed weight, smallest-label
+    ties — with all weights 1 (a simple graph) this IS
+    :func:`label_propagation` (tested). Integer weights are REQUIRED:
+    float vote totals would make the argmax order-sensitive and the
+    oracle unreplayable (the aa_micro discipline).
+
+    Same per-round shape as LP: one (dst, label)-keyed SUM combine
+    (map-side partial — a hub's converged neighborhood collapses to one
+    row per map task), per-dst argmax, V-row update join. The weighted
+    und relation is built ONCE (E-bounded groupBy) and persisted.
+    """
+    und = edges.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+        (
+            F.col(weight_col).cast("long")
+            if weight_col
+            else F.lit(1).cast("long")
+        ).alias("w"),
+    )
+    undw = und.groupBy("lo", "hi").agg(F.sum("w").alias("w"))
+    symw = undw.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"), "w"
+    ).unionAll(undw.select(F.col("hi").alias("u"), F.col("lo").alias("v"), "w"))
+    if num_partitions:
+        symw = symw.repartition(num_partitions, "u")
+    symw = symw.persist(StorageLevel.MEMORY_AND_DISK)
+    symw.count()
+
+    init = vertices.select("id", F.col("id").alias("label"))
+    if num_partitions:
+        init = init.repartition(num_partitions, "id")
+
+    metrics = {
+        "changed": F.sum("_changed"),
+        "message_count": F.sum("_msgs"),
+        "distinct_labels": F.approx_count_distinct("label"),
+    }
+    runner = Pregel(
+        spark,
+        step=lambda st, s: _lp_weighted_step(st, symw),
+        metrics_exprs=metrics,
+        halt=lambda m, s: (m["changed"] or 0) == 0,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        reliable_interval=reliable_interval,
+        max_supersteps=max_supersteps,
+        halt_interval=halt_interval,
+    )
+    try:
+        return runner.run(init, resume=resume)
+    finally:
+        symw.unpersist()

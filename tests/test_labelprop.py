@@ -235,3 +235,106 @@ def test_seeded_rejects_bad_seed_schema(spark):
             edges_df(spark, []),
             vertices_df(spark, ["a"]),  # no label column
         )
+
+
+# ---------------------------------------------------------------------------
+# weighted label propagation
+# ---------------------------------------------------------------------------
+
+
+def _brute_weighted_lp(ids, edges_w, rounds):
+    """edges_w: (u, v, w) directed with weights; votes by summed
+    pair weight, smallest-label ties."""
+    from collections import defaultdict
+
+    pw = defaultdict(int)
+    for u, v, w in edges_w:
+        if u != v:
+            pw[(min(u, v), max(u, v))] += w
+    nb = defaultdict(dict)
+    for (a, b), w in pw.items():
+        nb[a][b] = w
+        nb[b][a] = w
+    lab = {i: i for i in ids}
+    for _ in range(rounds):
+        nxt = {}
+        for v in ids:
+            votes = defaultdict(int)
+            for u, w in nb[v].items():
+                votes[lab[u]] += w
+            if votes:
+                nxt[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            else:
+                nxt[v] = lab[v]
+        if nxt == lab:
+            break
+        lab = nxt
+    return lab
+
+
+def test_weighted_lp_matches_brute(spark):
+    from duwamish_spark.algorithms import label_propagation_weighted
+
+    rng = __import__("random").Random(19)
+    n, m = 40, 130
+    edges_w = [
+        (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}", rng.randrange(1, 6))
+        for _ in range(m)
+    ]
+    ids = [f"v{i}" for i in range(n)]
+    e = spark.createDataFrame(edges_w, "src string, dst string, weight long")
+    res = label_propagation_weighted(
+        spark, vertices_df(spark, ids), e, weight_col="weight",
+        max_supersteps=4,
+    )
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got == _brute_weighted_lp(ids, edges_w, 4)
+
+
+def test_weighted_lp_weight_overrides_count(spark):
+    from duwamish_spark.algorithms import label_propagation_weighted
+
+    # z's single heavy edge to a (w=5) outvotes two light edges to b, c
+    e = spark.createDataFrame(
+        [("a", "z", 5), ("b", "z", 1), ("c", "z", 1)],
+        "src string, dst string, weight long",
+    )
+    res = label_propagation_weighted(
+        spark, vertices_df(spark, ["a", "b", "c", "z"]), e,
+        weight_col="weight", max_supersteps=1,
+    )
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got["z"] == "a"
+
+
+def test_weighted_lp_multiplicity_default_and_unweighted_equivalence(spark):
+    from duwamish_spark.algorithms import (
+        label_propagation,
+        label_propagation_weighted,
+    )
+
+    ids, edges = rand_graph(120, 3, 77)
+    v = vertices_df(spark, ids)
+    # equivalence needs every unordered pair to carry weight exactly 1:
+    # keep one canonical arc per pair (the default multiplicity law is
+    # louvain's — BOTH directions count, so a reciprocal pair would be
+    # a double vote where unweighted LP sees one neighbor)
+    from pyspark.sql import functions as F
+
+    es = (
+        edges_df(spark, edges)
+        .where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    a = {
+        r["id"]: r["label"]
+        for r in label_propagation(spark, v, es, max_supersteps=3).state.collect()
+    }
+    b = {
+        r["id"]: r["label"]
+        for r in label_propagation_weighted(
+            spark, v, es, max_supersteps=3
+        ).state.collect()
+    }
+    assert a == b
