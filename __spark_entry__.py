@@ -478,6 +478,19 @@ def q_reciprocity(spark, sf_dir):
     return reciprocity(_edges(spark, sf_dir))
 
 
+def q_attr_assortativity(spark, sf_dir):
+    """Categorical attribute assortativity (Newman mixing-matrix r)
+    with the derived attribute id % 7: exact integer moments (sum_a2 as
+    DECIMAL(38,0) — endpoint counts square past 2^63 at 10^12 edges),
+    one fixed float expression (algorithms/structure.py
+    attribute_assortativity)."""
+    from duwamish_spark.algorithms import attribute_assortativity
+
+    v, e = _graph(spark, sf_dir)
+    labels = v.select("id", (F.col("id") % 7).alias("label"))
+    return attribute_assortativity(e, labels)
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club connectivity profile: per occurring degree threshold k,
     hub count / hub-hub edge count / density phi(k) — suffix sums over
@@ -1666,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_h3": q_closeness_h3,
         "degree_assortativity": q_degree_assortativity,
         "rich_club": q_rich_club,
+        "attr_assortativity": q_attr_assortativity,
         "trussness_round2": q_trussness_round2,
         "mis_round1": q_mis_round1,
         "densest_round2": q_densest_round2,
@@ -2634,6 +2648,35 @@ def _coreness_chain_sql(rounds: int) -> str:
         + f"\nSELECT v.id AS id, coalesce(e2.c, 0)::BIGINT AS coreness "
         + f"FROM v LEFT JOIN est{rounds} e2 ON e2.id = v.id"
     )
+
+
+def _attr_assortativity_sql() -> str:
+    """Replay of structure.attribute_assortativity with labels id % 7:
+    direction-doubled mixing moments, DECIMAL(38,0) sum_a2, the
+    engine's exact float expression order."""
+    return f"""
+        WITH {_EDGE_CTE}, {_VERT_CTE}, {_CANON_CTE},
+        lab AS (SELECT id, id % 7 AS label FROM v),
+        tg AS (SELECT a.label AS ls, b.label AS ld FROM c
+               JOIN lab a ON a.id = c.src JOIN lab b ON b.id = c.dst),
+        agg AS (SELECT (2 * count(*))::BIGINT AS m2,
+                       (2 * coalesce(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END), 0))::BIGINT AS trace2
+                FROM tg),
+        ai AS (SELECT label, count(*) AS a FROM
+               (SELECT ls AS label FROM tg UNION ALL SELECT ld FROM tg)
+               GROUP BY label),
+        sa AS (SELECT coalesce(sum(a::HUGEINT * a::HUGEINT), 0)::DECIMAL(38,0) AS sum_a2
+               FROM ai)
+        SELECT m2, trace2, sum_a2,
+               CASE WHEN m2 > 0 AND
+                         (1.0 - sum_a2::DOUBLE / (m2::DOUBLE * m2::DOUBLE)) <> 0.0
+                    THEN round(
+                        (trace2::DOUBLE / m2::DOUBLE
+                         - sum_a2::DOUBLE / (m2::DOUBLE * m2::DOUBLE))
+                        / (1.0 - sum_a2::DOUBLE / (m2::DOUBLE * m2::DOUBLE)), 6)
+               END AS assortativity
+        FROM agg CROSS JOIN sa
+    """
 
 
 def _rich_club_sql() -> str:
@@ -4095,6 +4138,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "coreness_round3": _coreness_chain_sql(3),
         "rich_club": _rich_club_sql(),
+        "attr_assortativity": _attr_assortativity_sql(),
         "trussness_round2": _trussness_fixed_sql(2),
         "local_clustering": _local_clustering_sql(),
         "link_pred_top5": _link_pred_sql(5, 2, 1_000_000),

@@ -51,6 +51,7 @@ from duwamish_spark.algorithms.localcluster import ppr_sweep_cut
 from duwamish_spark.algorithms.triads import triad_census
 from duwamish_spark.algorithms.layering import topological_depth
 from duwamish_spark.algorithms.structure import (
+    attribute_assortativity,
     clustering_coefficient,
     cocitation,
     conductance,
@@ -79,6 +80,7 @@ __all__ = [
     "ppr_sweep_cut",
     "triad_census",
     "degree_assortativity",
+    "attribute_assortativity",
     "reciprocity",
     "rich_club",
     "boruvka_min_edges",

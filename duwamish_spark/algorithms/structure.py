@@ -651,3 +651,67 @@ def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+def attribute_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Categorical (discrete) assortativity of a vertex attribute over
+    the undirected simple graph (Newman 2003's mixing-matrix r): one row
+
+        (m2, trace2, sum_a2, assortativity)
+
+    where, in the direction-doubled mixing space over edges with BOTH
+    endpoints labeled: ``m2`` = 2·|labeled edges|, ``trace2`` = doubled
+    same-label edge count, ``sum_a2`` = Σ_i a_i² with a_i the per-label
+    endpoint count, and
+
+        r = (trace2/m2 − sum_a2/m2²) / (1 − sum_a2/m2²)
+
+    — +1 when edges only join like labels, 0 at random mixing, negative
+    when disassortative (a language/host/license attribute on an import
+    graph: does code link within its own kind?). NULL when undefined
+    (no labeled edges, or a single label where the denominator is 0).
+
+    All moments are EXACT integers — ``sum_a2`` as DECIMAL(38,0) (the
+    degree_assortativity overflow bound: endpoint counts reach E ~ 10^12
+    and their squares ~10^24 ≫ 2^63) — and r is one fixed float
+    expression, so the whole operator is SQL-replayable bit-for-bit.
+    Plan: two E-bounded label joins, one 2-rows-per-edge explode, two
+    linear groupBys, scalar crossJoins.
+    """
+    require_columns(labels, ("id", "label"), "labels")
+    c = canonical_edges(edges)
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("_ls"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_ld"))
+    tagged = c.join(la, "src").join(lb, "dst")
+    agg = tagged.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("m2"),
+        (2 * F.coalesce(
+            F.sum((F.col("_ls") == F.col("_ld")).cast("long")), F.lit(0)
+        )).cast("long").alias("trace2"),
+    )
+    ai = (
+        tagged.select(F.explode(F.array("_ls", "_ld")).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    sa2 = ai.agg(
+        F.coalesce(
+            F.sum(F.col("a").cast("decimal(19,0)") * F.col("a").cast("decimal(19,0)")),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_a2")
+    )
+    m2d = F.col("m2").cast("double")
+    t2d = F.col("trace2").cast("double")
+    sad = F.col("sum_a2").cast("double")
+    num = t2d / m2d - sad / (m2d * m2d)
+    den = 1.0 - sad / (m2d * m2d)
+    return agg.crossJoin(sa2).select(
+        "m2",
+        "trace2",
+        "sum_a2",
+        F.when((F.col("m2") > 0) & (den != 0.0), F.round(num / den, 6)).alias(
+            "assortativity"
+        ),
+    )

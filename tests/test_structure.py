@@ -833,3 +833,66 @@ def test_ppr_sweep_rejects_bad_top_n(spark):
     sdf = spark.createDataFrame([(1, 1.0)], "id long, rank double")
     with pytest.raises(ValueError):
         ppr_sweep_cut(spark, _edges_df(spark), sdf, top_n=0)
+
+
+# ---------------------------------------------------------------------------
+# attribute (categorical) assortativity
+# ---------------------------------------------------------------------------
+
+
+def _brute_attr_assort(edges, labels):
+    simple = [
+        (a, b) for a, b in _simple(edges) if a in labels and b in labels
+    ]
+    m2 = 2 * len(simple)
+    if m2 == 0:
+        return (0, 0, 0, None)
+    trace2 = 2 * sum(1 for a, b in simple if labels[a] == labels[b])
+    from collections import Counter
+
+    cnt = Counter()
+    for a, b in simple:
+        cnt[labels[a]] += 1
+        cnt[labels[b]] += 1
+    sum_a2 = sum(v * v for v in cnt.values())
+    num = trace2 / m2 - sum_a2 / (m2 * m2)
+    den = 1.0 - sum_a2 / (m2 * m2)
+    r = round(num / den, 6) if den != 0.0 else None
+    return (m2, trace2, sum_a2, r)
+
+
+def _run_attr(spark, edges, labels):
+    from duwamish_spark.algorithms import attribute_assortativity
+
+    lab = spark.createDataFrame(list(labels.items()), "id long, label string")
+    r = attribute_assortativity(_edges_df(spark, edges), lab).collect()[0]
+    return (r["m2"], r["trace2"], int(r["sum_a2"]), r["assortativity"])
+
+
+def test_attribute_assortativity_matches_brute(spark):
+    labels = {1: "x", 2: "x", 3: "y", 4: "y", 5: "y", 6: "x", 7: "x", 8: "y"}
+    assert _run_attr(spark, EDGES, labels) == _brute_attr_assort(EDGES, labels)
+
+
+def test_attribute_assortativity_random(spark):
+    for seed, n, m, k in [(2, 20, 70, 2), (9, 35, 140, 4)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        labels = {v: f"g{rng.randrange(k)}" for v in range(n)}
+        assert _run_attr(spark, edges, labels) == _brute_attr_assort(
+            edges, labels
+        ), seed
+
+
+def test_attribute_assortativity_extremes(spark):
+    # perfectly assortative: two mono-label cliques, no cross edges
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    labels = {1: "a", 2: "a", 3: "a", 4: "b", 5: "b", 6: "b"}
+    assert _run_attr(spark, edges, labels)[3] == 1.0
+    # single label: denominator 0 -> NULL
+    labels1 = {v: "z" for v in range(1, 7)}
+    assert _run_attr(spark, edges, labels1)[3] is None
+    # perfect bipartite disassortativity: r = -1
+    edges2 = [(1, 4), (2, 5), (3, 6)]
+    labels2 = {1: "a", 2: "a", 3: "a", 4: "b", 5: "b", 6: "b"}
+    assert _run_attr(spark, edges2, labels2)[3] == -1.0
