@@ -888,9 +888,13 @@ def main() -> None:
     free_local_checkpoint(tn.state)
 
     t0 = time.monotonic()
+    # census vertex set must come from the d15 graph itself (ids isolated
+    # at deg 15 would inflate the closed-form 003/012/102 classes if the
+    # deg-127 graph's frame were reused — r4 ADVICE; SF=1 block already
+    # does this with v15)
     tc_rows = {
         r["triad"]: int(r["count"])
-        for r in triad_census(spark, verts, sedges).collect()
+        for r in triad_census(spark, vertices_from(None, sedges), sedges).collect()
     }
     extra["triad_census_d15"] = {
         "sec": round(time.monotonic() - t0, 3),

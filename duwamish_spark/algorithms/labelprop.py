@@ -476,15 +476,27 @@ def label_propagation_weighted(
     INTEGER ``weight_col`` summed over all arcs between the endpoints
     in either direction. Mode = argmax of summed weight, smallest-label
     ties — with all weights 1 (a simple graph) this IS
-    :func:`label_propagation` (tested). Integer weights are REQUIRED:
+    :func:`label_propagation` (tested). Integer weights are REQUIRED
+    and ENFORCED: a float/decimal ``weight_col`` raises ValueError
+    rather than being silently truncated (0.9 would become 0 votes) —
     float vote totals would make the argmax order-sensitive and the
-    oracle unreplayable (the aa_micro discipline).
+    oracle unreplayable (the aa_micro discipline). Pre-scale fractional
+    weights to fixed-point integers yourself (e.g. round(w * 10^6)).
 
     Same per-round shape as LP: one (dst, label)-keyed SUM combine
     (map-side partial — a hub's converged neighborhood collapses to one
     row per map task), per-dst argmax, V-row update join. The weighted
     und relation is built ONCE (E-bounded groupBy) and persisted.
     """
+    if weight_col is not None:
+        wtype = edges.schema[weight_col].dataType.simpleString()
+        if wtype not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"label_propagation_weighted requires an integer weight_col; "
+                f"{weight_col!r} is {wtype} — pre-scale to fixed-point "
+                "integers (e.g. round(w * 1e6)) to keep the argmax "
+                "order-independent"
+            )
     und = edges.where(F.col("src") != F.col("dst")).select(
         F.least("src", "dst").alias("lo"),
         F.greatest("src", "dst").alias("hi"),

@@ -609,9 +609,13 @@ def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
     cross-label edges (≤ 2 rows per cut edge), three linear groupBys —
     all integer counts until the single final division (round 6,
     SQL-replayable). Vertices missing from ``labels`` are excluded from
-    every aggregate (their edges still count toward a community's cut
-    only if the OTHER endpoint is labeled — document your label
-    coverage before reading absolute numbers).
+    every aggregate, and so are their edges: an edge with exactly ONE
+    labeled endpoint is dropped from every community's cut (both label
+    joins are inner), while ``volume`` still counts full-graph degree —
+    under partial label coverage this asymmetry UNDERSTATES conductance,
+    so establish your label coverage before reading absolute numbers.
+    (The tested brute oracle encodes exactly this drop-from-cut
+    behavior.)
     """
     require_columns(labels, ("id", "label"), "labels")
     c = canonical_edges(edges)

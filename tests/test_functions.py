@@ -1130,6 +1130,34 @@ def test_incremental_dedup_priority_and_chain(spark):
     assert got == _brute_incremental(new, corpus, 0.5)
 
 
+def test_incremental_banding_equals_exact_at_gate_config(spark):
+    """The q_incremental_dedup gate claims the 64x1 banded near relation
+    EMPIRICALLY equals the exact n-gram Jaccard relation at the gate's
+    config and corpus (miss probability (1-j)^64 per true pair, not a
+    proof) — diff the two relations on the gate SF's documents so the
+    claim is a measurement, not an assertion (r4 ADVICE)."""
+    import os
+
+    import __spark_entry__ as entrymod
+    from duwamish_spark.functions import minhash_near_dups, ngram_jaccard_pairs
+
+    p = os.path.join(entrymod._ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(p):
+        pytest.skip("no documents.parquet at the oracle SF dir")
+    docs = spark.read.parquet(p)
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(
+            docs, k=3, n_hashes=64, bands=64, threshold=0.2
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    assert banded == exact
+
+
 def test_incremental_dedup_partition_invariant(spark):
     from duwamish_spark.functions import incremental_dedup
 

@@ -291,6 +291,24 @@ def test_weighted_lp_matches_brute(spark):
     assert got == _brute_weighted_lp(ids, edges_w, 4)
 
 
+def test_weighted_lp_rejects_float_weights(spark):
+    # a float weight_col must raise, not silently truncate (0.9 -> 0
+    # votes) — r4 ADVICE; fractional weights need explicit fixed-point
+    # pre-scaling by the caller
+    import pytest as _pytest
+
+    from duwamish_spark.algorithms import label_propagation_weighted
+
+    e = spark.createDataFrame(
+        [("a", "b", 0.9)], "src string, dst string, weight double"
+    )
+    with _pytest.raises(ValueError, match="integer weight_col"):
+        label_propagation_weighted(
+            spark, vertices_df(spark, ["a", "b"]), e, weight_col="weight",
+            max_supersteps=1,
+        )
+
+
 def test_weighted_lp_weight_overrides_count(spark):
     from duwamish_spark.algorithms import label_propagation_weighted
 
