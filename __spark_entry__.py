@@ -338,6 +338,19 @@ def q_betweenness_h3(spark, sf_dir):
     return betweenness_sampled(spark, v, e, src, 3)
 
 
+def q_edge_betweenness_h3(spark, sf_dir):
+    """EDGE betweenness (Brandes' edge-dependency variant), same sampled
+    sources/hop bound as betweenness_h3: one row per distinct non-loop
+    arc, sigma(s,v)*(1+delta(s,w))/sigma(s,w) summed over shortest-path
+    DAG arcs — a single two-join post-pass over the shared Brandes
+    state (algorithms/betweenness.py edge_betweenness_sampled)."""
+    from duwamish_spark.algorithms import edge_betweenness_sampled
+
+    v, e = _graph(spark, sf_dir)
+    src = v.where(F.col("id") % 100 == 0).select("id")
+    return edge_betweenness_sampled(spark, e, src, 3)
+
+
 def q_harmonic_h3(spark, sf_dir):
     """Harmonic centrality estimate from the HyperANF sketches (h=3,
     m=16): H(v) = Σ_t (|ball(v,t)|-|ball(v,t-1)|)/t with ball sizes from
@@ -1661,8 +1674,12 @@ _WINDOW = [
     "kcore_converged", "coreness_round3", "scc_converged", "node2vec_l4",
     "betweenness_h3", "random_walks_l5", "degree_histogram",
     "reciprocity", "boruvka_round1", "kmeans_assign",
-    "neighbor_mean_emb", "local_clustering", "link_pred_top5",
+    "neighbor_mean_emb", "trussness_round2", "edge_betweenness_h3",
 ]
+# swapped for the last two refresh slots (local_clustering /
+# link_pred_top5, r3-green + untouched): trussness_round2 re-gates the
+# r5 frontier rewrite; edge_betweenness_h3 gates the new operator (and
+# betweenness_h3, already in-window, re-gates the shared-state refactor).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1772,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "neighbor_mean_emb": q_neighbor_mean_emb,
         "betweenness_h3": q_betweenness_h3,
+        "edge_betweenness_h3": q_edge_betweenness_h3,
         "triangles_per_vertex": q_triangles_per_vertex,
         "local_clustering": q_local_clustering,
         "link_pred_top5": q_link_pred_top5,
@@ -3049,11 +3067,12 @@ def _anf_chain_sql(h: int, m: int) -> str:
     )
 
 
-def _betweenness_chain_sql(h: int) -> str:
-    """Chained-CTE replay of betweenness_sampled: forward BFS with exact
+def _brandes_chain_ctes(h: int) -> list[str]:
+    """Shared CTE chain replaying _brandes_state: forward BFS with exact
     BIGINT sigma (anti-join discovery per level), then Brandes dependency
     accumulation walked H-1..0 — every float op mirrors the engine
-    ((1.0+delta)/sigma group sums, sigma*contrib per level)."""
+    ((1.0+delta)/sigma group sums, sigma*contrib per level). Ends at
+    ``b0`` = the finished (s, pv, dist, sigma, delta) relation."""
     ctes = [
         _EDGE_CTE,
         _VERT_CTE,
@@ -3089,6 +3108,12 @@ def _betweenness_chain_sql(h: int) -> str:
             f"ELSE r.delta END AS delta FROM b{t+1} r "
             f"LEFT JOIN c{t} c ON c.s = r.s AND c.pv = r.pv)"
         )
+    return ctes
+
+
+def _betweenness_chain_sql(h: int) -> str:
+    """Vertex aggregate over the shared Brandes chain."""
+    ctes = _brandes_chain_ctes(h)
     ctes.append(
         "agg AS (SELECT pv AS id, sum(delta) AS b, sum(dist) AS ds, "
         "count(*) AS nr FROM b0 WHERE dist > 0 GROUP BY pv)"
@@ -3099,6 +3124,26 @@ def _betweenness_chain_sql(h: int) -> str:
         + "coalesce(agg.ds, 0)::BIGINT AS seed_dist_sum, "
         + "coalesce(agg.nr, 0)::BIGINT AS seeds_reaching "
         + "FROM v LEFT JOIN agg ON agg.id = v.id"
+    )
+
+
+def _edge_betweenness_chain_sql(h: int) -> str:
+    """Edge aggregate over the shared Brandes chain: per DAG arc (v,w),
+    sigma(s,v) * (1.0 + delta(s,w)) / sigma(s,w) — same operand order as
+    edge_betweenness_sampled's single float expression."""
+    ctes = _brandes_chain_ctes(h)
+    ctes.append(
+        "eb AS (SELECT de.src AS src, de.dst AS dst, "
+        "sum(pv.sigma * (1.0 + w.delta) / w.sigma) AS eb "
+        "FROM b0 pv JOIN de ON de.src = pv.pv "
+        "JOIN b0 w ON w.s = pv.s AND w.pv = de.dst AND w.dist = pv.dist + 1 "
+        "GROUP BY de.src, de.dst)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT de.src AS src, de.dst AS dst, "
+        + "round(coalesce(eb.eb, 0.0), 6) AS betweenness "
+        + "FROM de LEFT JOIN eb ON eb.src = de.src AND eb.dst = de.dst"
     )
 
 
@@ -4140,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
             "AS assortativity FROM agg"
         ),
         "betweenness_h3": _betweenness_chain_sql(3),
+        "edge_betweenness_h3": _edge_betweenness_chain_sql(3),
         "cc_converged_shuffle": _CC_REACH_SQL,
         "cc_auto_algorithm": _CC_REACH_SQL,
         "cc_alternating": _CC_REACH_SQL,

@@ -31,7 +31,10 @@ from duwamish_spark.algorithms.anf import (
     hll_estimates,
     neighborhood_function,
 )
-from duwamish_spark.algorithms.betweenness import betweenness_sampled
+from duwamish_spark.algorithms.betweenness import (
+    betweenness_sampled,
+    edge_betweenness_sampled,
+)
 from duwamish_spark.algorithms.bowtie import bowtie_decomposition, reachable_set
 from duwamish_spark.algorithms.densest import densest_subgraph
 from duwamish_spark.algorithms.mis import maximal_independent_set
@@ -66,6 +69,7 @@ from duwamish_spark.algorithms.structure import (
 
 __all__ = [
     "betweenness_sampled",
+    "edge_betweenness_sampled",
     "bowtie_decomposition",
     "reachable_set",
     "clustering_coefficient",

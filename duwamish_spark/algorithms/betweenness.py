@@ -39,36 +39,21 @@ from duwamish_spark.pregel import (
 )
 
 
-def betweenness_sampled(
+def _brandes_state(
     spark: SparkSession,
-    vertices: DataFrame,
     edges: DataFrame,
     sources: DataFrame,
     max_depth: int,
     *,
     num_partitions: int | None = None,
     partitioner=None,
-) -> DataFrame:
-    """(id, betweenness, seed_dist_sum, seeds_reaching) over the directed
-    simple graph.
-
-    - ``betweenness``: Σ_s delta(s, id) over the sampled sources, paths
-      bounded at ``max_depth`` hops (raw sample sum, round 6 — normalize
-      by |S| externally if a rate is wanted);
-    - ``seed_dist_sum`` / ``seeds_reaching``: exact BIGINT distance sum
-      and count of sources reaching the vertex within the bound (the
-      sampled-closeness byproduct — integer, free).
-
-    ``sources`` is a 1-column (id) DataFrame; it must be a subset of the
-    vertex ids (rows whose id never appears in the graph contribute
-    nothing). The caller owns the returned V-row localCheckpoint (free
-    with free_local_checkpoint).
-    """
-    if max_depth < 1:
-        raise ValueError("max_depth must be >= 1")
-    require_columns(vertices, ("id",), "vertices")
-    require_columns(edges, ("src", "dst"), "edges")
-    require_columns(sources, ("id",), "sources")
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Brandes machinery: forward BFS with exact BIGINT sigma,
+    then the backward dependency accumulation. Returns ``(cur, de)`` —
+    ``cur`` = the finished (s, v, dist, sigma, delta) relation, ``de``
+    the distinct simple edge set — both localCheckpointed; the CALLER
+    frees both. The vertex and edge betweenness variants differ only in
+    the final aggregation over this state."""
 
     de = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     if num_partitions:
@@ -153,6 +138,47 @@ def betweenness_sampled(
         free_local_checkpoint(cur)
         cur = nxt
 
+    return cur, de
+
+
+def betweenness_sampled(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    *,
+    num_partitions: int | None = None,
+    partitioner=None,
+) -> DataFrame:
+    """(id, betweenness, seed_dist_sum, seeds_reaching) over the directed
+    simple graph.
+
+    - ``betweenness``: Σ_s delta(s, id) over the sampled sources, paths
+      bounded at ``max_depth`` hops (raw sample sum, round 6 — normalize
+      by |S| externally if a rate is wanted);
+    - ``seed_dist_sum`` / ``seeds_reaching``: exact BIGINT distance sum
+      and count of sources reaching the vertex within the bound (the
+      sampled-closeness byproduct — integer, free).
+
+    ``sources`` is a 1-column (id) DataFrame; it must be a subset of the
+    vertex ids (rows whose id never appears in the graph contribute
+    nothing). The caller owns the returned V-row localCheckpoint (free
+    with free_local_checkpoint).
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    require_columns(vertices, ("id",), "vertices")
+    require_columns(edges, ("src", "dst"), "edges")
+    require_columns(sources, ("id",), "sources")
+    cur, de = _brandes_state(
+        spark,
+        edges,
+        sources,
+        max_depth,
+        num_partitions=num_partitions,
+        partitioner=partitioner,
+    )
     agg = (
         cur.where(F.col("dist") > 0)
         .groupBy(F.col("v").alias("id"))
@@ -169,6 +195,89 @@ def betweenness_sampled(
             F.round(F.coalesce("_b", F.lit(0.0)), 6).alias("betweenness"),
             F.coalesce("_ds", F.lit(0)).cast("long").alias("seed_dist_sum"),
             F.coalesce("_nr", F.lit(0)).cast("long").alias("seeds_reaching"),
+        )
+        .transform(local_checkpoint_stats_reset)
+    )
+    free_local_checkpoint(cur)
+    free_local_checkpoint(de)
+    return out
+
+
+def edge_betweenness_sampled(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    *,
+    num_partitions: int | None = None,
+    partitioner=None,
+) -> DataFrame:
+    """EDGE betweenness over the directed simple graph: one row
+    ``(src, dst, betweenness)`` per distinct non-loop arc —
+    Σ_s σ(s,v)·(1 + δ(s,w))/σ(s,w) over sampled sources s and shortest-
+    path-DAG arcs (v,w) (dist(s,w) = dist(s,v)+1), paths bounded at
+    ``max_depth`` hops (Brandes 2001 §4's edge variant of the
+    dependency recursion). Edges on no sampled shortest path score 0.
+
+    Cost: IDENTICAL forward+backward passes as the vertex variant
+    (shared ``_brandes_state``), plus ONE post-pass — two keyed joins of
+    the finished state into the edge set and an edge-keyed sum. No
+    per-level edge accumulation is needed because δ(s,w) is final once
+    its level is processed, so every DAG arc's dependency is computable
+    from the finished state. The standard use: rank cross-module import
+    arcs (bridge edges score high, intra-cluster arcs low) — the edge
+    signal behind Girvan-Newman community splitting.
+
+    Reference scope: duwamish has no centrality operator; this extends
+    the engine's Brandes machinery (betweenness.py) to the edge
+    relation. The caller owns the returned E-row localCheckpoint.
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    require_columns(edges, ("src", "dst"), "edges")
+    require_columns(sources, ("id",), "sources")
+    cur, de = _brandes_state(
+        spark,
+        edges,
+        sources,
+        max_depth,
+        num_partitions=num_partitions,
+        partitioner=partitioner,
+    )
+    vrows = cur.select(
+        F.col("s").alias("vs"),
+        F.col("v").alias("vv"),
+        F.col("dist").alias("vdist"),
+        F.col("sigma").alias("vsigma"),
+    )
+    wrows = cur.select(
+        F.col("s").alias("ws"),
+        F.col("v").alias("wv"),
+        F.col("dist").alias("wdist"),
+        F.col("sigma").alias("wsigma"),
+        F.col("delta").alias("wdelta"),
+    )
+    dep = (
+        vrows.join(de, vrows["vv"] == de["src"])
+        .join(
+            wrows,
+            (F.col("ws") == F.col("vs"))
+            & (F.col("wv") == de["dst"])
+            & (F.col("wdist") == F.col("vdist") + 1),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                F.col("vsigma") * (F.lit(1.0) + F.col("wdelta")) / F.col("wsigma")
+            ).alias("_eb")
+        )
+    )
+    out = (
+        de.join(dep, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.round(F.coalesce("_eb", F.lit(0.0)), 6).alias("betweenness"),
         )
         .transform(local_checkpoint_stats_reset)
     )
