@@ -1203,6 +1203,23 @@ def q_embedding_centroids(spark, sf_dir):
     return out.select("label", F.col("pos").cast("long").alias("pos"), "v")
 
 
+def q_emb_moments(spark, sf_dir):
+    """Exact fixed-point embedding moment relation (the distributed half
+    of PCA whitening): one row per upper-tri dimension pair with
+    floor(x·1e6) BIGINT first moments and DECIMAL(38,0) second moments —
+    two chained generators + one keyed aggregate, no join
+    (functions/whiten.py embedding_moments). The driver-side eigh half
+    is NumPy-oracle pytest-gated (tests/test_whiten.py). Gate
+    projection: s_ij cast to DOUBLE (wire-type discipline; exact in
+    float64 at gate SF)."""
+    from duwamish_spark.functions import embedding_moments
+
+    m = embedding_moments(_emb(spark, sf_dir))
+    return m.select(
+        "i", "j", "n", "s_i", "s_j", F.col("s_ij").cast("double").alias("s_ij")
+    )
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """IVF coarse quantizer: 2 deterministic Lloyd iterations (cosine
     assignment, k=4, init = vectors of the 4 smallest ids) — the bucketing
@@ -1673,13 +1690,14 @@ _WINDOW = [
     "recommend_round4_broadcast", "token_stats", "dedup_exact",
     "kcore_converged", "coreness_round3", "scc_converged", "node2vec_l4",
     "betweenness_h3", "random_walks_l5", "degree_histogram",
-    "reciprocity", "boruvka_round1", "kmeans_assign",
+    "reciprocity", "boruvka_round1", "emb_moments",
     "neighbor_mean_emb", "trussness_round2", "edge_betweenness_h3",
 ]
-# swapped for the last two refresh slots (local_clustering /
-# link_pred_top5, r3-green + untouched): trussness_round2 re-gates the
+# swapped for the last refresh slots (local_clustering / link_pred_top5 /
+# kmeans_assign, all r3-green + untouched): trussness_round2 re-gates the
 # r5 frontier rewrite; edge_betweenness_h3 gates the new operator (and
-# betweenness_h3, already in-window, re-gates the shared-state refactor).
+# betweenness_h3, already in-window, re-gates the shared-state refactor);
+# emb_moments gates the new PCA-whitening moment relation.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1722,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "knn_cosine": q_knn_cosine,
         "kmeans_centroids": q_kmeans_centroids,
+        "emb_moments": q_emb_moments,
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4420,6 +4439,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY label, i
         """,
         "kmeans_centroids": _kmeans_sql(4, 2),
+        "emb_moments": """
+            WITH ex AS (SELECT vec_id,
+                        generate_subscripts(embedding, 1) - 1 AS i,
+                        floor(unnest(embedding)::DOUBLE * 1000000.0)::BIGINT AS x
+                        FROM embeddings),
+            p AS (SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+                  FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND b.i >= a.i)
+            SELECT i, j, count(*)::BIGINT AS n,
+                   sum(xi)::BIGINT AS s_i, sum(xj)::BIGINT AS s_j,
+                   (sum(xi::DECIMAL(19,0) * xj::DECIMAL(19,0))::DECIMAL(38,0))::DOUBLE AS s_ij
+            FROM p GROUP BY i, j
+        """,
+
         "kmeans_assign": _kmeans_assign_sql(4, 2),
         "semdedup": _semdedup_sql(4, 2, 0.2),
         "simhash_near_dups": _simhash_md5_sql(7),

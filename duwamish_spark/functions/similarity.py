@@ -157,6 +157,7 @@ def knn_cosine_lsh(
     vec_col: str = "embedding",
     dim: int = 64,
     n_tables: int = 16,
+    bucket_vec_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket in at
     least one of ``n_tables`` tables (candidates deduped before scoring,
@@ -168,8 +169,17 @@ def knn_cosine_lsh(
     ~0.23 candidate fraction, where the previous 8x8 default measured
     0.16 at 0.04 (bench: knn_lsh_recall_n1500). Callers chasing
     throughput on clustered embeddings can still pass the cheaper
-    knobs explicitly."""
-    buckets = lsh_buckets(emb, n_planes, seed, id_col, vec_col, dim, n_tables)
+    knobs explicitly.
+
+    ``bucket_vec_col`` decouples the HASHING space from the SCORING
+    space: candidates come from LSH over that column (e.g. a PCA-
+    whitened copy, functions/whiten.py — isotropic inputs spread
+    random-hyperplane buckets evenly) while the ranking cosine stays on
+    ``vec_col``, so the output metric is unchanged and only recall
+    improves."""
+    buckets = lsh_buckets(
+        emb, n_planes, seed, id_col, bucket_vec_col or vec_col, dim, n_tables
+    )
     ba = buckets.select(F.col("id").alias("vec_id"), "table", "bucket")
     bb = buckets.select(F.col("id").alias("neighbor_id"), "table", "bucket")
     cand = (
@@ -563,17 +573,21 @@ def knn_lsh_recall(
     vec_col: str = "embedding",
     dim: int = 64,
     n_tables: int = 8,
+    bucket_vec_col: str | None = None,
 ) -> dict:
     """Quality gate for the approximate scale path: recall of the LSH
     top-k against the brute-force top-k (|LSH ∩ exact| / |exact| over
     (vec_id, neighbor_id) pairs) plus the candidate-pair fraction that
     bought it. Run at a sampled SF, not on the full corpus (the exact
-    side is O(n²))."""
+    side is O(n²)). ``bucket_vec_col`` hashes in an alternate space
+    (PCA-whitened) while exact/ranking cosine stays on ``vec_col`` —
+    the recall delta IS the whitening benefit measurement."""
     n = emb.count()
+    bcol = bucket_vec_col or vec_col
     exact = knn_cosine(emb, k, id_col, vec_col, strategy="brute").select(
         "vec_id", "neighbor_id"
     )
-    buckets = lsh_buckets(emb, n_planes, seed, id_col, vec_col, dim, n_tables)
+    buckets = lsh_buckets(emb, n_planes, seed, id_col, bcol, dim, n_tables)
     ba = buckets.select(F.col("id").alias("vec_id"), "table", "bucket")
     bb = buckets.select(F.col("id").alias("neighbor_id"), "table", "bucket")
     n_cand = (
@@ -584,7 +598,8 @@ def knn_lsh_recall(
         .count()
     )
     approx = knn_cosine_lsh(
-        emb, k, n_planes, seed, id_col, vec_col, dim, n_tables
+        emb, k, n_planes, seed, id_col, vec_col, dim, n_tables,
+        bucket_vec_col=bucket_vec_col,
     ).select("vec_id", "neighbor_id")
     denom = exact.count()
     recall = 1.0 if denom == 0 else exact.intersect(approx).count() / denom
