@@ -191,6 +191,56 @@ def streaming_dedup(
     )
 
 
+def streaming_enrich_edges(
+    edges_stream: DataFrame,
+    attrs_stream: DataFrame,
+    *,
+    edge_time_col: str = "event_time",
+    attr_time_col: str = "attr_time",
+    watermark: str = "30 seconds",
+    max_lag: str = "60 seconds",
+) -> DataFrame:
+    """Stream-stream watermark join: enrich the live edge stream with a
+    slowly-changing vertex-attribute stream (host reputation, language
+    re-detection, license re-scan — the attributes a crawler re-emits).
+
+    ``attrs_stream`` must carry ``(id, <attr_time_col>, attribute
+    columns...)``. An edge joins every attribute version for its ``src``
+    whose timestamp lies in ``[edge_time − max_lag, edge_time]`` — the
+    event-time RANGE condition Spark requires to bound stream-stream
+    join state: each side is watermarked, and a buffered edge/attribute
+    can be evicted once the other side's watermark passes its eligible
+    window (state is bounded by max_lag × arrival rate, not by history).
+    Downstream code wanting only the LATEST version takes a max over
+    ``attr_time`` per edge (a separate stateful agg kept out of this
+    operator on purpose — composability and state isolation).
+
+    Batch equivalence: running the SAME join condition over the two
+    bounded tables gives identical rows (pytest-gated on a bounded
+    replay); streaming only adds late-arrival eviction beyond the
+    watermark.
+
+    Scale shape: the join is key-partitioned on (src = id) by the
+    engine's stream-stream join exchange; a hub vertex's attribute row
+    fan-out is bounded by its in-window edge arrivals — the same skew
+    surface as the batch combine, handled by the same salting decision
+    upstream if a hub host dominates a micro-batch.
+    """
+    e = edges_stream.withWatermark(edge_time_col, watermark)
+    a = attrs_stream.withWatermark(attr_time_col, watermark).withColumnRenamed(
+        "id", "_attr_id"
+    )
+    cond = (
+        (F.col("src") == F.col("_attr_id"))
+        & (F.col(attr_time_col) <= F.col(edge_time_col))
+        & (
+            F.col(attr_time_col)
+            >= F.expr(f"{edge_time_col} - interval {max_lag}")
+        )
+    )
+    return e.join(a, cond, "inner").drop("_attr_id")
+
+
 def run_to_table(
     stream: DataFrame,
     table_name: str,

@@ -376,3 +376,74 @@ def test_streaming_sessionize_window_end_is_last_plus_gap(spark, tmp_path):
     assert str(r["session_start"]) == "2026-01-01 00:00:00"
     assert str(r["session_end"]) == "2026-01-01 00:05:00"
     assert r["n_events"] == 1
+
+
+def test_streaming_enrich_edges_matches_batch_join(spark, tmp_path):
+    """Stream-stream watermark join == the same range join on the
+    bounded tables (every event inside the watermark)."""
+    from duwamish_spark.streaming import streaming_enrich_edges
+
+    ed = tmp_path / "enrich_edges"
+    ad = tmp_path / "enrich_attrs"
+    ed.mkdir()
+    ad.mkdir()
+    edge_rows = [
+        ("h1", "x", "2026-01-01 00:00:05"),
+        ("h1", "y", "2026-01-01 00:00:45"),
+        ("h2", "x", "2026-01-01 00:00:50"),
+        ("h3", "z", "2026-01-01 00:01:10"),
+    ]
+    attr_rows = [
+        # h1 re-scored twice: the edge at :05 sees only the :00 version,
+        # the edge at :45 sees both (:00 within 60s lag, :30 newer)
+        ("h1", "2026-01-01 00:00:00", 0.2),
+        ("h1", "2026-01-01 00:00:30", 0.9),
+        ("h2", "2026-01-01 00:00:10", 0.5),
+        # h3's only version is OLDER than max_lag before its edge: no row
+        ("h3", "2026-01-01 00:00:01", 0.7),
+    ]
+    (
+        spark.createDataFrame(edge_rows, "src string, dst string, ts string")
+        .selectExpr("src", "dst", "CAST(ts AS TIMESTAMP) AS event_time")
+        .write.mode("overwrite")
+        .parquet(str(ed / "e.parquet"))
+    )
+    (
+        spark.createDataFrame(attr_rows, "id string, ts string, score double")
+        .selectExpr("id", "CAST(ts AS TIMESTAMP) AS attr_time", "score")
+        .write.mode("overwrite")
+        .parquet(str(ad / "a.parquet"))
+    )
+    es = spark.readStream.schema(
+        "src string, dst string, event_time timestamp"
+    ).parquet(str(ed / "e.parquet"))
+    as_ = spark.readStream.schema(
+        "id string, attr_time timestamp, score double"
+    ).parquet(str(ad / "a.parquet"))
+    out = streaming_enrich_edges(es, as_, max_lag="60 seconds")
+    run_to_table(out, "enriched_t", str(tmp_path / "ck_enrich"))
+    got = {
+        (r["src"], r["dst"], str(r["attr_time"]), r["score"])
+        for r in spark.sql("SELECT * FROM enriched_t").collect()
+    }
+
+    # batch replay of the identical range-join condition
+    be = spark.read.parquet(str(ed / "e.parquet"))
+    ba = spark.read.parquet(str(ad / "a.parquet")).withColumnRenamed("id", "aid")
+    import pyspark.sql.functions as F
+
+    batch = be.join(
+        ba,
+        (F.col("src") == F.col("aid"))
+        & (F.col("attr_time") <= F.col("event_time"))
+        & (F.col("attr_time") >= F.expr("event_time - interval 60 seconds")),
+    )
+    want = {
+        (r["src"], r["dst"], str(r["attr_time"]), r["score"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # the documented content: h1's second edge sees both versions, h3 none
+    assert ("h1", "y", "2026-01-01 00:00:00", 0.2) in got
+    assert ("h1", "y", "2026-01-01 00:00:30", 0.9) in got
+    assert not any(s == "h3" for s, _, _, _ in got)
