@@ -536,6 +536,21 @@ def q_trussness_round2(spark, sf_dir):
     return trussness(spark, _edges(spark, sf_dir), max_rounds=2).state
 
 
+def q_modularity_weighted(spark, sf_dir):
+    """Weighted Newman modularity with a derived integer weight
+    1 + (src+dst) % 3 and labels id % 5: all moments exact BIGINT /
+    DECIMAL(38,0) until one fixed float expression
+    (algorithms/structure.py modularity_weighted)."""
+    from duwamish_spark.algorithms import modularity_weighted
+
+    v, e = _graph(spark, sf_dir)
+    we = e.withColumn(
+        "weight", (F.lit(1) + (F.col("src") + F.col("dst")) % 3).cast("long")
+    )
+    labels = v.select("id", (F.col("id") % 5).alias("label"))
+    return modularity_weighted(we, labels, "weight")
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Out-in degree assortativity (Newman Pearson r over distinct
     arcs): six exact BIGINT moments + one fixed-order float formula
@@ -1691,13 +1706,15 @@ _WINDOW = [
     "kcore_converged", "coreness_round3", "scc_converged", "node2vec_l4",
     "betweenness_h3", "random_walks_l5", "degree_histogram",
     "reciprocity", "boruvka_round1", "emb_moments",
-    "neighbor_mean_emb", "trussness_round2", "edge_betweenness_h3",
+    "modularity_weighted", "trussness_round2", "edge_betweenness_h3",
 ]
 # swapped for the last refresh slots (local_clustering / link_pred_top5 /
-# kmeans_assign, all r3-green + untouched): trussness_round2 re-gates the
-# r5 frontier rewrite; edge_betweenness_h3 gates the new operator (and
-# betweenness_h3, already in-window, re-gates the shared-state refactor);
-# emb_moments gates the new PCA-whitening moment relation.
+# kmeans_assign / neighbor_mean_emb, all r3-green + untouched):
+# trussness_round2 re-gates the r5 frontier rewrite; edge_betweenness_h3
+# gates the new operator (and betweenness_h3, already in-window, re-gates
+# the shared-state refactor); emb_moments gates the new PCA-whitening
+# moment relation; modularity_weighted gates the new weighted-modularity
+# operator.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1814,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_top5": q_link_pred_top5,
         "ktruss_round2": q_ktruss_round2,
         "lp_modularity_round3": q_lp_modularity_round3,
+        "modularity_weighted": q_modularity_weighted,
         "lp_conductance_round3": q_lp_conductance_round3,
         "square_count": q_square_count,
         "topo_depth_round3": q_topo_depth_round3,
@@ -4247,6 +4265,28 @@ def oracle_sql() -> dict[str, str]:
         "link_pred_top5": _link_pred_sql(5, 2, 1_000_000),
         "ktruss_round2": _ktruss_fixed_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "lp_modularity_round3": _modularity_lp_sql(3),
+        "modularity_weighted": f"""
+            WITH {_EDGE_CTE}, {_VERT_CTE},
+            und AS (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+                    sum((1 + (src + dst) % 3)::BIGINT)::BIGINT AS w
+                    FROM e WHERE src <> dst GROUP BY 1, 2),
+            lab AS (SELECT id, id % 5 AS label FROM v),
+            tagged AS (SELECT u.w AS w, a.label AS ls, b.label AS ld FROM und u
+                       JOIN lab a ON a.id = u.lo JOIN lab b ON b.id = u.hi),
+            agg AS (SELECT sum(w)::BIGINT AS tw,
+                    coalesce(sum(CASE WHEN ls = ld THEN w END), 0)::BIGINT AS w_in
+                    FROM tagged),
+            strength AS (SELECT lo AS id, w FROM und UNION ALL SELECT hi, w FROM und),
+            sc AS (SELECT sum(ssum::DECIMAL(19,0) * ssum::DECIMAL(19,0))::DECIMAL(38,0) AS sum_s2
+                   FROM (SELECT lab.label, sum(strength.w)::BIGINT AS ssum
+                         FROM strength JOIN lab ON lab.id = strength.id
+                         GROUP BY lab.label))
+            SELECT round(w_in::DOUBLE / tw
+                   - sum_s2::DOUBLE / (4.0 * tw::DOUBLE * tw::DOUBLE), 6)
+                   AS modularity
+            FROM agg CROSS JOIN sc
+        """,
+
         "lp_conductance_round3": _conductance_lp_sql(3),
         "square_count": f"""
             WITH {_EDGE_CTE}, {_CANON_CTE}, {_SADJ_CTE},

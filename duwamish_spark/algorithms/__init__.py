@@ -62,6 +62,7 @@ from duwamish_spark.algorithms.structure import (
     k_truss,
     link_prediction,
     modularity,
+    modularity_weighted,
     reciprocity,
     rich_club,
     square_count,
@@ -97,6 +98,7 @@ __all__ = [
     "link_prediction",
     "k_truss",
     "modularity",
+    "modularity_weighted",
     "square_count",
     "topological_depth",
     "recommendations",

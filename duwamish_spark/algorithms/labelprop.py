@@ -114,12 +114,20 @@ def label_propagation_delta(
     hash-partitioned on (id, label), so the merge reuses partitioning
     instead of re-exchanging the big side). Deltas cost TWO messages per
     frontier-incident edge (+new/-old), so a round is cheaper than sync
-    exactly when the frontier touches < E/2 edges — i.e. from round ~3
-    on, where label propagation's frontier collapses geometrically;
-    while the frontier is still everyone (round 2) delta pays up to 2x.
-    Measured crossover + totals in BENCH_r04 (`lp_delta` entries).
-    Memory: ``cnt`` ≤ one row per (vertex, distinct neighbor label)
-    ≤ E rows, localCheckpointed per round with the standard
+    exactly when the frontier touches < E/2 edges.
+
+    **Measured verdict (r5, BENCH/lp_ab.json — to a 60-round cap at
+    sf0.1, fresh JVMs, interleaved):** the per-round message crossover
+    is round 3 and the frontier collapses geometrically (3.5M → 17k
+    msgs by round 6 vs sync's flat 3.5M every round), for **11× fewer
+    total messages** (18.9M vs 212.4M). Wall-clock on local[32] is the
+    OPPOSITE story — 53.7 s vs 27.3 s median — because a single-JVM
+    "shuffle" is a memory copy while delta pays a fixed per-round
+    count-merge. So: **sync stays the default**; delta is the documented
+    option for network-bound multi-executor clusters (where message
+    volume, not round count, is the bill) and for high-round converged
+    runs. Memory: ``cnt`` ≤ one row per (vertex, distinct neighbor
+    label) ≤ E rows, localCheckpointed per round with the standard
     two-generation block retirement.
     """
     mapping = None

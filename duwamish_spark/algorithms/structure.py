@@ -415,6 +415,77 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def modularity_weighted(
+    edges: DataFrame, labels: DataFrame, weight_col: str
+) -> DataFrame:
+    """Weighted Newman modularity: Q = W_in/W − Σ_c (S_c / 2W)², with
+    W = total weight over undirected simple edges (parallel arcs' weights
+    summed per unordered pair — the louvain weight law), W_in = weight
+    inside communities, S_c = Σ strength (weighted degree; a self-loop
+    would add 2w, but loops are dropped like everywhere in the engine).
+
+    INTEGRAL weights required (the label_propagation_weighted contract,
+    enforced): every moment stays an exact BIGINT until the final fixed
+    float expression — deterministic, SQL-replayable (driver gate
+    ``modularity_weighted``). On an already-deduplicated simple edge
+    table with all weights 1 this IS :func:`modularity` (tested); on a
+    multigraph, all-1 weights sum to arc multiplicity per pair (the
+    louvain weight law), which :func:`modularity` deliberately dedups
+    instead. One E-bounded pair groupBy, two label joins, two linear
+    aggregates.
+    """
+    require_columns(labels, ("id", "label"), "labels")
+    wtype = edges.schema[weight_col].dataType.simpleString()
+    if wtype not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"modularity_weighted requires an integer weight_col; "
+            f"{weight_col!r} is {wtype}"
+        )
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.sum("w").alias("w"))
+    )
+    la = labels.select(F.col("id").alias("lo"), F.col("label").alias("_ls"))
+    lb = labels.select(F.col("id").alias("hi"), F.col("label").alias("_ld"))
+    tagged = und.join(la, "lo").join(lb, "hi")
+    agg = tagged.agg(
+        F.sum("w").alias("tw"),
+        F.coalesce(
+            F.sum(F.when(F.col("_ls") == F.col("_ld"), F.col("w"))), F.lit(0)
+        ).alias("w_in"),
+    )
+    strength = und.select(F.col("lo").alias("id"), "w").unionAll(
+        und.select(F.col("hi").alias("id"), "w")
+    )
+    sc = (
+        strength.join(labels, "id")
+        .groupBy("label")
+        .agg(F.sum("w").alias("ssum"))
+        .agg(
+            F.sum(
+                F.col("ssum").cast("decimal(19,0)")
+                * F.col("ssum").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("sum_s2")
+        )
+    )
+    return agg.crossJoin(sc).select(
+        F.round(
+            F.col("w_in").cast("double") / F.col("tw")
+            - F.col("sum_s2").cast("double")
+            / (4.0 * F.col("tw").cast("double") * F.col("tw").cast("double")),
+            6,
+        ).alias("modularity")
+    )
+
+
 def cocitation(
     edges: DataFrame,
     k: int = 5,

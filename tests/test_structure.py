@@ -254,6 +254,63 @@ def test_modularity_perfect_split_is_positive(spark):
     assert got == _brute_modularity(edges, labels) == 0.5
 
 
+def _brute_weighted_modularity(wedges, labels):
+    # wedges: {(lo, hi): w} summed per unordered pair, loops dropped
+    tw = sum(wedges.values())
+    w_in = sum(w for (a, b), w in wedges.items() if labels[a] == labels[b])
+    ssum = defaultdict(int)
+    for (a, b), w in wedges.items():
+        ssum[labels[a]] += w
+        ssum[labels[b]] += w
+    sum_s2 = sum(s * s for s in ssum.values())
+    return round(w_in / tw - sum_s2 / (4.0 * tw * tw), 6)
+
+
+def test_weighted_modularity_matches_brute(spark):
+    from duwamish_spark.algorithms import modularity_weighted
+
+    rng = __import__("random").Random(31)
+    raw = [
+        (rng.randrange(10), rng.randrange(10), rng.randrange(1, 6))
+        for _ in range(60)
+    ]
+    wedges = defaultdict(int)
+    for a, b, w in raw:
+        if a != b:
+            wedges[(min(a, b), max(a, b))] += w
+    labels = {v: v % 3 for v in range(10)}
+    e = spark.createDataFrame(raw, "src long, dst long, weight long")
+    ldf = spark.createDataFrame(list(labels.items()), "id long, label long")
+    got = modularity_weighted(e, ldf, "weight").collect()[0]["modularity"]
+    assert got == _brute_weighted_modularity(dict(wedges), labels)
+
+
+def test_weighted_modularity_all_ones_equals_unweighted(spark):
+    # on a deduplicated simple edge table, all-1 weights reduce exactly
+    # to the unweighted operator
+    from duwamish_spark.algorithms import modularity_weighted
+
+    e = _edges_df(spark).where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct().withColumn("weight", F.lit(1).cast("long"))
+    labels = {v: (0 if v <= 4 or v == 8 else 1) for v in range(1, 9)}
+    ldf = spark.createDataFrame(list(labels.items()), "id long, label long")
+    got_w = modularity_weighted(e, ldf, "weight").collect()[0]["modularity"]
+    got_u = modularity(e, ldf).collect()[0]["modularity"]
+    assert got_w == got_u
+
+
+def test_weighted_modularity_rejects_float_weights(spark):
+    from duwamish_spark.algorithms import modularity_weighted
+
+    e = spark.createDataFrame(
+        [(1, 2, 0.5)], "src long, dst long, weight double"
+    )
+    ldf = spark.createDataFrame([(1, 0), (2, 0)], "id long, label long")
+    with pytest.raises(ValueError, match="integer weight_col"):
+        modularity_weighted(e, ldf, "weight")
+
+
 # ---------------------------------------------------------------------------
 # co-citation / bibliographic coupling (directed)
 # ---------------------------------------------------------------------------
