@@ -29,6 +29,7 @@ REPO = Path(__file__).resolve().parents[1]
 # matters (longest-first greedy bin packing), not accuracy
 DURATIONS = {
     "test_entry_contract.py": 600,
+    "test_typeaudit.py": 300,
     "test_recommend.py": 300,
     "test_structure.py": 240,
     "test_pregel.py": 180,

@@ -87,16 +87,17 @@ def _duck_kind(dt: str) -> str:
     return dt.lower()
 
 
-def audit(only: set[str] | None = None) -> int:
+def audit(only: set[str] | None = None, spark=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    from duwamish_spark.session import get_spark
+    if spark is None:
+        from duwamish_spark.session import get_spark
 
-    spark = get_spark()
+        spark = get_spark()
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
