@@ -780,6 +780,22 @@ def q_louvain_round2(spark, sf_dir):
     return res.state.select("id", F.col("comm").cast("long").alias("comm"))
 
 
+def q_louvain_weighted_round2(spark, sf_dir):
+    """Two Louvain move rounds through the weight_col path: derived
+    integer weight 1 + (src+dst) % 3 summed per unordered pair (the
+    louvain weight law), same alternating/strict-improvement/tie-break
+    semantics; oracle is the weighted parameterization of the same
+    chained-CTE replay (algorithms/louvain.py weighted_undirected)."""
+    from duwamish_spark.algorithms import louvain
+
+    v, e = _graph(spark, sf_dir)
+    we = e.withColumn(
+        "weight", (F.lit(1) + (F.col("src") + F.col("dst")) % 3).cast("long")
+    )
+    res = louvain(spark, v, we, weight_col="weight", max_rounds=2)
+    return res.state.select("id", F.col("comm").cast("long").alias("comm"))
+
+
 def q_lp_round3_shuffle(spark, sf_dir):
     """lp_round3 through the forced shuffle strategy (auto picks broadcast
     at V=599) — oracle-gates LP's scale path: the two-stage mode combine
@@ -1704,7 +1720,7 @@ _WINDOW = [
     "triangles_per_vertex", "recommend_round4",
     "recommend_round4_broadcast", "token_stats", "dedup_exact",
     "kcore_converged", "coreness_round3", "scc_converged", "node2vec_l4",
-    "betweenness_h3", "random_walks_l5", "degree_histogram",
+    "betweenness_h3", "random_walks_l5", "louvain_weighted_round2",
     "reciprocity", "boruvka_round1", "emb_moments",
     "modularity_weighted", "trussness_round2", "edge_betweenness_h3",
 ]
@@ -1714,13 +1730,16 @@ _WINDOW = [
 # gates the new operator (and betweenness_h3, already in-window, re-gates
 # the shared-state refactor); emb_moments gates the new PCA-whitening
 # moment relation; modularity_weighted gates the new weighted-modularity
-# operator.
+# operator; louvain_weighted_round2 (in for degree_histogram, r3-green
+# trivial machinery) gates the previously-ungated weight_col path of
+# louvain.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     d = {
         # -- 0. new in round 4 (never driver-checked) --
         "louvain_round2": q_louvain_round2,
+        "louvain_weighted_round2": q_louvain_weighted_round2,
         "boilerplate_strip": q_boilerplate_strip,
         "semdedup": q_semdedup,
         "salsa_round3": q_salsa_round3,
@@ -2199,16 +2218,23 @@ def _lp_seeded_chain_sql(steps: int) -> str:
     )
 
 
-def _louvain_chain_sql(rounds: int) -> str:
+def _louvain_chain_sql(rounds: int, weight_expr: str | None = None) -> str:
     """Replay of algorithms/louvain.py's move rounds: integer weights,
     HUGEINT scores (== Spark DECIMAL(38,0)), direction-alternating
     moves (odd rounds c < a, even rounds c > a), strict improvement,
-    smallest-community tie-break."""
+    smallest-community tie-break. ``weight_expr`` (a SQL expression over
+    an arc's src/dst) replays the weight_col path — pair weight =
+    sum over arcs (the louvain weight law) instead of multiplicity."""
+    wagg = (
+        f"sum(({weight_expr})::BIGINT)::BIGINT"
+        if weight_expr is not None
+        else "count(*)::BIGINT"
+    )
     ctes = [
         _EDGE_CTE,
         _VERT_CTE,
         ("und AS (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi, "
-         "count(*)::BIGINT AS w FROM e WHERE src <> dst GROUP BY 1, 2)"),
+         f"{wagg} AS w FROM e WHERE src <> dst GROUP BY 1, 2)"),
         ("symw AS (SELECT lo AS u, hi AS v, w FROM und "
          "UNION ALL SELECT hi AS u, lo AS v, w FROM und)"),
         ("s AS (SELECT v.id, coalesce(sum(symw.w), 0)::BIGINT AS st "
@@ -4237,6 +4263,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lp_round3": _lp_chain_sql(3),
         "louvain_round2": _louvain_chain_sql(2),
+        "louvain_weighted_round2": _louvain_chain_sql(2, weight_expr="1 + (src + dst) % 3"),
         "lp_round3_delta": _lp_chain_sql(3),
         "lp_seeded_round3": _lp_seeded_chain_sql(3),
         "lp_weighted_round3": _lp_weighted_chain_sql(3),
