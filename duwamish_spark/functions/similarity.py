@@ -325,6 +325,7 @@ def knn_cosine_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    quantize_vec_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: k-means coarse quantizer buckets the
     vectors; each query scores only members of its ``n_probe`` nearest
@@ -338,26 +339,36 @@ def knn_cosine_ivf(
     storage for the session's lifetime.
 
     ``centroids`` reuses an already-fitted quantizer (the recall gate
-    fits one for its size accounting — no reason to run Lloyd twice)."""
+    fits one for its size accounting — no reason to run Lloyd twice).
+    ``quantize_vec_col`` decouples the QUANTIZATION space from the
+    SCORING space (the LSH ``bucket_vec_col`` counterpart): the Lloyd
+    fit, the membership assignment, and the probe ranking all run over
+    that column (e.g. a PCA-whitened copy) while candidate-pair cosine
+    stays on ``vec_col`` — output metric unchanged, bucket geometry
+    improved on anisotropy-corrupted embeddings."""
     from pyspark.sql.window import Window
 
+    qcol = quantize_vec_col or vec_col
     cent = (
         centroids
         if centroids is not None
-        else kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
+        else kmeans_centroids(emb, n_centroids, iters, id_col, qcol)
     )
     # per-vector norm computed ONCE (n rows), carried through the
     # candidate join — pair scoring is then dot/(na*nb), bit-identical
     # to cosine_sim_col at ~1/3 the per-pair HOF work
     pts = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(qcol).alias("_q"),
     ).withColumn("_nv", _norm(F.col("v")))
     # ONE points-x-centroids pass ranks every (point, cluster): rank 1 is
     # the membership assignment, ranks <= n_probe are the probe set —
-    # avoids scoring the n*k cross join twice
+    # avoids scoring the n*k cross join twice. Quantization distance is
+    # over _q (== v unless quantize_vec_col decouples the spaces).
     scored_c = pts.crossJoin(F.broadcast(cent)).select(
         "id", "v", "_nv", "cluster",
-        cosine_sim_col(F.col("v"), F.col("centroid")).alias("cs"),
+        cosine_sim_col(F.col("_q"), F.col("centroid")).alias("cs"),
     )
     wp = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cluster").asc())
     ranked = scored_c.withColumn("_rn", F.row_number().over(wp)).persist()

@@ -121,3 +121,29 @@ def test_whitening_recovers_planted_twins(spark):
     raw, white = rate("embedding"), rate("_white")
     assert white > 0.9
     assert raw < 0.5
+
+
+def test_ivf_quantize_vec_col_decouples_spaces(spark):
+    """IVF's quantize_vec_col mirrors LSH's bucket_vec_col: quantization
+    over the whitened copy, scoring unchanged. Defaults must equal the
+    undecoupled call; decoupled quantization must still return k rows
+    per query with raw-cosine scores."""
+    from duwamish_spark.functions.similarity import knn_cosine_ivf
+
+    df, _ = _emb_df(spark, seed=9, n=80)
+    m = pca_whitening_model(spark, df)
+    w = whiten_embeddings(df, m, out_col="_white")
+
+    base = {
+        (r["vec_id"], r["knn_rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in knn_cosine_ivf(df, 2, 8, 8).collect()
+    }
+    # n_probe == n_centroids -> brute within quantization, so decoupling
+    # the quantization space cannot change the result set
+    dec = {
+        (r["vec_id"], r["knn_rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in knn_cosine_ivf(
+            w, 2, 8, 8, quantize_vec_col="_white"
+        ).collect()
+    }
+    assert base == dec
